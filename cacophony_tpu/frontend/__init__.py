@@ -1,0 +1,23 @@
+from cacophony_tpu.frontend.dsp import (
+    hann_window_periodic,
+    linear_to_mel_matrix,
+    log_mel_spectrogram,
+    num_stft_frames,
+    resample_fft,
+    resample_fft_host,
+    stft_magnitude,
+)
+from cacophony_tpu.frontend.patchify import num_patches_for_samples, patchify_spectrogram, wav_to_patches
+
+__all__ = [
+    "hann_window_periodic",
+    "linear_to_mel_matrix",
+    "log_mel_spectrogram",
+    "num_stft_frames",
+    "resample_fft",
+    "resample_fft_host",
+    "stft_magnitude",
+    "patchify_spectrogram",
+    "wav_to_patches",
+    "num_patches_for_samples",
+]
