@@ -1,0 +1,99 @@
+"""Headline benchmark: 10-s 16 kHz clips embedded per second per chip.
+
+Measures the full device-side pipeline (waveform buffer → log-mel →
+patchify → 85M audio encoder → pooled embedding) at steady state on the
+default backend (the real TPU chip under the driver).
+
+vs_baseline = TPU clips/s ÷ CPU fp32 single-clip clips/s — the
+BASELINE.json north-star ratio (target ≥ 5×).  The CPU baseline is measured
+in-process when a CPU backend is available, else a stored measurement of
+this box is used.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+
+try:  # make both the accelerator and the host CPU visible
+    jax.config.update("jax_platforms", "")
+except Exception:
+    pass
+
+import jax.numpy as jnp
+
+from cacophony_tpu.configs import FrontendConfig, PatchConfig, caco_base
+from cacophony_tpu.frontend import wav_to_patches
+from cacophony_tpu.models.caco import caco_init, get_audio_embedding
+
+# Measured once on this host (85M encoder, fp32, batch-1 10-s clip, CPU):
+# used only if no CPU backend can be initialized alongside the TPU.
+_FALLBACK_CPU_CLIPS_PER_S = 1.4
+
+BATCH = 32
+ITERS = 20
+
+
+def _pipeline(cfg, front, patch):
+    def forward(params, bufs, lens):
+        batch = jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(bufs, lens)
+        emb, _ = get_audio_embedding(
+            params, cfg, batch["audio_patches"], batch["audio_time_inds"],
+            batch["audio_freq_inds"], batch["audio_mask"],
+        )
+        return emb
+
+    return forward
+
+
+def _throughput(device, batch_size, iters, warmup=2):
+    cfg = caco_base()
+    front, patch = FrontendConfig(), PatchConfig(patches_seq_len=500)
+    fwd = jax.jit(_pipeline(cfg, front, patch), device=device)
+
+    params = jax.device_put(
+        jax.jit(lambda: caco_init(jax.random.PRNGKey(0), cfg), device=device)(),
+        device,
+    )
+    rng = np.random.RandomState(0)
+    bufs = jax.device_put(
+        jnp.asarray(rng.randn(batch_size, 160_000).astype(np.float32) * 0.1), device)
+    lens = jax.device_put(jnp.full((batch_size,), 160_000, jnp.int32), device)
+
+    for _ in range(warmup):
+        fwd(params, bufs, lens).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, bufs, lens)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    accel = jax.devices()[0]
+    tpu_clips = _throughput(accel, BATCH, ITERS)
+
+    cpu_clips = None
+    try:
+        cpu = jax.devices("cpu")[0]
+        if cpu != accel:
+            cpu_clips = _throughput(cpu, 1, 3, warmup=1)
+    except Exception:
+        pass
+    baseline = cpu_clips if cpu_clips else _FALLBACK_CPU_CLIPS_PER_S
+
+    print(json.dumps({
+        "metric": "10s_clips_embedded_per_sec_per_chip",
+        "value": round(tpu_clips, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(tpu_clips / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

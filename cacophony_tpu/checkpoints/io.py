@@ -1,0 +1,92 @@
+"""Checkpoint IO: read released Flax-msgpack checkpoints, save/load ours.
+
+Reference loaders: load_caco / load_audiomae (src/caco/load_model.py:12-89);
+they restore msgpack with flax and print param counts.  Here the released
+layout is converted to our tree on load, param counts are ASSERTED against
+the published sizes (85.26M audio / 125.23M text / 76.46M decoder,
+reference README.md:59-70) rather than printed, and our own checkpoints are
+saved via orbax (TPU-native async-capable checkpointing).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from cacophony_tpu.checkpoints.convert import convert_audiomae_params, convert_caco_params
+from cacophony_tpu.configs import AudioMAEConfig, CacoConfig, audiomae_base, caco_base
+from cacophony_tpu.models.layers import count_params
+
+# Published parameter counts (reference README.md:59-70), in millions.
+PUBLISHED_PARAM_COUNTS_M = {"audio": 85.26, "text": 125.23, "decoder": 76.46}
+
+
+def _restore_msgpack(path: str):
+    from flax.training import checkpoints as flax_checkpoints
+
+    state = flax_checkpoints.restore_checkpoint(path, target=None)
+    if state is None:
+        raise FileNotFoundError(f"no checkpoint found at {path}")
+    return state
+
+
+def _check_counts(params: dict, strict: bool):
+    for key, published in PUBLISHED_PARAM_COUNTS_M.items():
+        if key not in params:
+            continue
+        ours = count_params(params[key]) / 1e6
+        if abs(ours - published) > 0.02 and strict:
+            raise ValueError(
+                f"param count mismatch for {key}: {ours:.2f}M vs published "
+                f"{published}M — wrong checkpoint or layout drift"
+            )
+
+
+def load_caco(ckpt_path: str, cfg: Optional[CacoConfig] = None, *,
+              strict_counts: bool = True):
+    """Released Cacophony checkpoint → (cfg, our params).
+
+    Mirrors reference load_caco (load_model.py:12-63) minus the tokenizer
+    (see cacophony_tpu.data.tokenizer)."""
+    cfg = cfg or caco_base()
+    state = _restore_msgpack(ckpt_path)
+    params = convert_caco_params(state["0"]["params"])
+    _check_counts(params, strict_counts)
+    return cfg, jax.tree_util.tree_map(np.asarray, params)
+
+
+def load_audiomae(ckpt_path: str, cfg: Optional[AudioMAEConfig] = None, *,
+                  strict_counts: bool = True):
+    """Released stage-1 AudioMAE checkpoint → (cfg, our params)."""
+    cfg = cfg or audiomae_base()
+    state = _restore_msgpack(ckpt_path)
+    params = convert_audiomae_params(state["0"]["params"])
+    if strict_counts:
+        enc_m = count_params(params["encoder"]) / 1e6
+        if abs(enc_m - PUBLISHED_PARAM_COUNTS_M["audio"]) > 0.01:
+            raise ValueError(f"MAE encoder param count {enc_m:.2f}M != 85.26M")
+    return cfg, jax.tree_util.tree_map(np.asarray, params)
+
+
+# ------------------------------------------------------- our own checkpoints
+
+def save_params(params, path: str):
+    """Save our param tree with orbax."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def load_params(path: str, like=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(path, like)
+        return ckptr.restore(path)

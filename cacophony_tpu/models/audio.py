@@ -1,0 +1,209 @@
+"""Audio ViT-MAE encoder and reconstruction decoder.
+
+Semantics match the reference Flax modules (src/caco/audio_models/mae.py):
+- encoder (mae.py:107-139): Dense patch projection, sin-cos TIME positional
+  embedding from explicit time indices, LEARNED frequency embedding table
+  gathered by freq indices, N pre-LN ViT blocks (MHA + SiLU MLP, DropPath),
+  final LayerNorm.  Position-indexed inputs make the model agnostic to patch
+  subsampling/masking.
+- decoder (mae.py:144-188): re-projection, same positional scheme, learned
+  mask token appended for masked positions with their own positions, N blocks,
+  LayerNorm, Dense(patch_size) reconstruction head.
+
+TPU-first deltas vs the reference: layer stacks are `lax.scan` over
+leading-axis-stacked params (the reference python-loops 12 separate modules,
+mae.py:134 "# TODO scan"); attention is fused-QKV; compute dtype is
+configurable (bf16 on the MXU) with fp32 LayerNorm/softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cacophony_tpu.configs import AudioDecoderConfig, AudioEncoderConfig
+from cacophony_tpu.models.layers import (
+    dense,
+    dense_init,
+    drop_path,
+    dropout,
+    embed_init,
+    layer_norm,
+    ln_init,
+    mask_to_bias,
+    sincos_time_embedding,
+    stack_layers,
+)
+from cacophony_tpu.ops.attention import attention_init, multi_head_attention
+
+LN_EPS = 1e-6  # flax nn.LayerNorm default (reference audio tower uses it)
+
+
+# ------------------------------------------------------------------ init
+
+def _block_init(rng, hidden: int, intermediate: int):
+    ks = jax.random.split(rng, 4)
+    return {
+        "ln1": ln_init(hidden),
+        "attn": attention_init(ks[0], hidden, num_heads=1),  # heads set at apply
+        "ln2": ln_init(hidden),
+        "mlp": {
+            "w1": dense_init(ks[1], hidden, intermediate),
+            "w2": dense_init(ks[2], intermediate, hidden),
+        },
+    }
+
+
+def audio_encoder_init(rng, cfg: AudioEncoderConfig):
+    ks = jax.random.split(rng, 4)
+    return {
+        "patch_proj": dense_init(ks[0], cfg.patch_size, cfg.hidden_size),
+        "freq_pos_embed": embed_init(ks[1], cfg.num_freq_patches, cfg.hidden_size),
+        "blocks": stack_layers(
+            ks[2], cfg.num_layers,
+            lambda r: _block_init(r, cfg.hidden_size, cfg.intermediate_size),
+        ),
+        "ln_f": ln_init(cfg.hidden_size),
+    }
+
+
+def audio_decoder_init(rng, cfg: AudioDecoderConfig, encoder_hidden: int):
+    ks = jax.random.split(rng, 5)
+    return {
+        "in_proj": dense_init(ks[0], encoder_hidden, cfg.hidden_size),
+        "freq_pos_embed": embed_init(ks[1], cfg.num_freq_patches, cfg.hidden_size),
+        "mask_token": embed_init(ks[2], 1, cfg.hidden_size)[0],
+        "blocks": stack_layers(
+            ks[3], cfg.num_layers,
+            lambda r: _block_init(r, cfg.hidden_size, cfg.intermediate_size),
+        ),
+        "ln_f": ln_init(cfg.hidden_size),
+        "out_proj": dense_init(ks[4], cfg.hidden_size, cfg.patch_size),
+    }
+
+
+# ------------------------------------------------------------------ apply
+
+def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
+               train=False, rngs=None):
+    """Pre-LN block: x + DropPath(MHA(LN(x))), x + DropPath(MLP(LN(x)))
+    (reference mae.py:72-98; MLP = Dense→SiLU→Dense, mae.py:55-70)."""
+    det = not train
+    r = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
+
+    h = layer_norm(p["ln1"], x, LN_EPS)
+    h, _ = multi_head_attention(p["attn"], h, num_heads=num_heads, bias=bias, dtype=dtype)
+    h = dropout(r(0), h, dropout_rate, det)
+    x = x + drop_path(r(1), h, drop_path_rate, det)
+
+    h = layer_norm(p["ln2"], x, LN_EPS)
+    h = dense(p["mlp"]["w1"], h, dtype)
+    h = jax.nn.silu(h)
+    h = dropout(r(2), h, dropout_rate, det)
+    h = dense(p["mlp"]["w2"], h, dtype)
+    h = dropout(r(3), h, dropout_rate, det)
+    x = x + drop_path(r(4), h, drop_path_rate, det)
+    return x
+
+
+def _run_blocks(blocks, x, bias, *, num_heads, dropout_rate, drop_path_rate,
+                dtype, train, rngs):
+    def body(carry, xs):
+        x = carry
+        if rngs is not None:
+            p, layer_rng = xs
+        else:
+            p, layer_rng = xs, None
+        x = _vit_block(p, x, bias, num_heads=num_heads, dropout_rate=dropout_rate,
+                       drop_path_rate=drop_path_rate, dtype=dtype, train=train,
+                       rngs=layer_rng)
+        return x, None
+
+    num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    xs = (blocks, jax.random.split(rngs, num_layers)) if rngs is not None else blocks
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def audio_encoder_apply(
+    params,
+    cfg: AudioEncoderConfig,
+    patches: jnp.ndarray,     # (B, S, patch_size)
+    time_inds: jnp.ndarray,   # (B, S) int
+    freq_inds: jnp.ndarray,   # (B, S) int
+    mask: jnp.ndarray,        # (B, S) 1=valid
+    *,
+    dtype=jnp.float32,
+    train: bool = False,
+    rngs: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """→ hidden states (B, S, hidden). Reference: mae.py:111-139."""
+    x = dense(params["patch_proj"], patches.astype(dtype), dtype)
+    x = x + sincos_time_embedding(time_inds, cfg.hidden_size).astype(x.dtype)
+    x = x + params["freq_pos_embed"].astype(x.dtype)[freq_inds]
+    bias = mask_to_bias(mask)[:, None, None, :]  # key-side mask only
+    x = _run_blocks(params["blocks"], x, bias, num_heads=cfg.num_heads,
+                    dropout_rate=cfg.dropout_rate, drop_path_rate=cfg.drop_path_rate,
+                    dtype=dtype, train=train, rngs=rngs)
+    return layer_norm(params["ln_f"], x, LN_EPS)
+
+
+def audio_decoder_apply(
+    params,
+    cfg: AudioDecoderConfig,
+    hidden: jnp.ndarray,            # (B, S_vis, enc_hidden) encoder output
+    mask: jnp.ndarray,              # (B, S_vis)
+    time_inds: jnp.ndarray,
+    freq_inds: jnp.ndarray,
+    restore_time_inds: jnp.ndarray,  # (B, S_masked) positions to reconstruct
+    restore_freq_inds: jnp.ndarray,
+    restore_mask: jnp.ndarray,
+    *,
+    dtype=jnp.float32,
+    train: bool = False,
+    rngs: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """→ reconstructed patches (B, S_vis + S_masked, patch_size).
+    Reference: mae.py:148-188."""
+    x = dense(params["in_proj"], hidden.astype(dtype), dtype)
+    x = x + sincos_time_embedding(time_inds, cfg.hidden_size).astype(x.dtype)
+    x = x + params["freq_pos_embed"].astype(x.dtype)[freq_inds]
+
+    xm = params["mask_token"].astype(x.dtype)[None, None, :]
+    xm = xm + sincos_time_embedding(restore_time_inds, cfg.hidden_size).astype(x.dtype)
+    xm = xm + params["freq_pos_embed"].astype(x.dtype)[restore_freq_inds]
+
+    x = jnp.concatenate([x, xm], axis=1)
+    full_mask = jnp.concatenate([mask, restore_mask], axis=1)
+    bias = mask_to_bias(full_mask)[:, None, None, :]
+    x = _run_blocks(params["blocks"], x, bias, num_heads=cfg.num_heads,
+                    dropout_rate=cfg.dropout_rate, drop_path_rate=cfg.drop_path_rate,
+                    dtype=dtype, train=train, rngs=rngs)
+    x = layer_norm(params["ln_f"], x, LN_EPS)
+    return dense(params["out_proj"], x, dtype)
+
+
+# ------------------------------------------------------------------ AudioMAE
+
+def audiomae_init(rng, enc_cfg: AudioEncoderConfig, dec_cfg: AudioDecoderConfig):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "encoder": audio_encoder_init(k1, enc_cfg),
+        "decoder": audio_decoder_init(k2, dec_cfg, enc_cfg.hidden_size),
+    }
+
+
+def audiomae_apply(params, enc_cfg, dec_cfg, patches, mask, time_inds, freq_inds,
+                   restore_time_inds, restore_freq_inds, restore_mask, *,
+                   dtype=jnp.float32, train=False, rngs=None):
+    """Stage-1 reconstruction forward (reference mae.py:190-225)."""
+    r1 = r2 = None
+    if rngs is not None:
+        r1, r2 = jax.random.split(rngs)
+    h = audio_encoder_apply(params["encoder"], enc_cfg, patches, time_inds,
+                            freq_inds, mask, dtype=dtype, train=train, rngs=r1)
+    return audio_decoder_apply(params["decoder"], dec_cfg, h, mask, time_inds,
+                               freq_inds, restore_time_inds, restore_freq_inds,
+                               restore_mask, dtype=dtype, train=train, rngs=r2)

@@ -1,0 +1,315 @@
+"""Causal RoBERTa-style text encoder, attention pooler, and caption decoder.
+
+Semantics match the reference (src/caco/text_models/roberta_text_model.py):
+- embeddings = word + absolute-position + token-type(0), LayerNorm, dropout
+  (:92-129); position ids default to arange (:565-566 — the HF pad-offset
+  helper exists there but is unused)
+- post-LN blocks: selfattn → Dense+LN(residual) → [crossattn → Dense+LN] →
+  FFN(gelu-exact) → Dense+LN(residual) (:295-428)
+- the contrastive text tower is CAUSAL (GPT-style), not bidirectional (:385)
+- single-query attention pooler (:510-536)
+- caption decoder consumes TEXT-ENCODER HIDDEN STATES (not raw embeddings)
+  and cross-attends to audio hidden states; vocab head (:585-627)
+
+TPU-first deltas: layer stacks are `lax.scan` over stacked params with a
+functional KV cache threaded through the scan (the reference uses flax
+mutable 'cache' collections); cross-attention K/V for decode are computed
+ONCE per utterance instead of per step (identical math — the reference
+recomputes them for every generated token, :190-201); fused QKV projections.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cacophony_tpu.configs import TextConfig
+from cacophony_tpu.models.layers import (
+    dense,
+    dense_init,
+    dropout,
+    embed_init,
+    layer_norm,
+    ln_init,
+    mask_to_bias,
+    stack_layers,
+)
+from cacophony_tpu.ops.attention import attention_init, multi_head_attention
+
+
+# ------------------------------------------------------------------ init
+
+def _block_init(rng, cfg: TextConfig):
+    ks = jax.random.split(rng, 6)
+    std = 0.02
+    p = {
+        # attn["o"] IS the RoBERTa attention.output.dense (one output proj).
+        "attn": attention_init(ks[0], cfg.hidden_size, cfg.num_heads, stddev=std),
+        "ln_attn": ln_init(cfg.hidden_size),
+        "mlp_in": dense_init(ks[2], cfg.hidden_size, cfg.intermediate_size, std),
+        "mlp_out": dense_init(ks[3], cfg.intermediate_size, cfg.hidden_size, std),
+        "ln_mlp": ln_init(cfg.hidden_size),
+    }
+    if cfg.cross_attention:
+        p["cross"] = attention_init(ks[4], cfg.hidden_size, cfg.num_heads,
+                                    stddev=std, cross=True)
+        p["ln_cross"] = ln_init(cfg.hidden_size)
+    return p
+
+
+def text_embeddings_init(rng, cfg: TextConfig):
+    ks = jax.random.split(rng, 3)
+    return {
+        "word": embed_init(ks[0], cfg.vocab_size, cfg.hidden_size),
+        "position": embed_init(ks[1], cfg.max_position_embeddings, cfg.hidden_size),
+        "token_type": embed_init(ks[2], cfg.type_vocab_size, cfg.hidden_size),
+        "ln": ln_init(cfg.hidden_size),
+    }
+
+
+def text_pooler_init(rng, cfg: TextConfig):
+    ks = jax.random.split(rng, 3)
+    return {
+        "key": dense_init(ks[0], cfg.hidden_size, cfg.hidden_size, 0.02),
+        "value": dense_init(ks[1], cfg.hidden_size, cfg.hidden_size, 0.02),
+        "query": embed_init(ks[2], 1, cfg.hidden_size),
+    }
+
+
+def text_encoder_init(rng, cfg: TextConfig):
+    ks = jax.random.split(rng, 3)
+    return {
+        "embeddings": text_embeddings_init(ks[0], cfg),
+        "blocks": stack_layers(ks[1], cfg.num_layers, lambda r: _block_init(r, cfg)),
+        "pooler": text_pooler_init(ks[2], cfg),
+    }
+
+
+def caption_decoder_init(rng, cfg: TextConfig):
+    assert cfg.cross_attention
+    ks = jax.random.split(rng, 2)
+    return {
+        "blocks": stack_layers(ks[0], cfg.num_layers, lambda r: _block_init(r, cfg)),
+        "vocab_proj": dense_init(ks[1], cfg.hidden_size, cfg.vocab_size, 0.01),
+    }
+
+
+def make_kv_cache(cfg: TextConfig, batch: int, max_length: int, dtype=jnp.float32):
+    """Stacked-per-layer functional KV cache: leaves (L, B, T, H, Dh) + index."""
+    shape = (cfg.num_layers, batch, max_length, cfg.num_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+# ------------------------------------------------------------------ apply
+
+def _post_ln_residual(ln_p, h, residual, eps, rng, rate, det):
+    """RoBERTa post-LN wrapper: LN(dropout(h) + residual); the output dense
+    itself lives inside the attention / MLP params (reference :295-312,
+    :363-380 — dense, dropout, LN(h + input))."""
+    h = dropout(rng, h, rate, det)
+    return layer_norm(ln_p, h + residual, eps)
+
+
+def _text_block(
+    p, x, cfg: TextConfig, bias, *, memory=None, memory_bias=None,
+    kv_cache=None, cache_index=None, cross_kv=None, train=False, rngs=None,
+):
+    det = not train
+    r = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
+    eps = cfg.layer_norm_eps
+
+    h, new_cache = multi_head_attention(
+        p["attn"], x, num_heads=cfg.num_heads, bias=bias,
+        kv_cache=kv_cache, cache_index=cache_index,
+    )
+    x = _post_ln_residual(p["ln_attn"], h, x, eps, r(0), cfg.hidden_dropout, det)
+
+    if memory is not None or cross_kv is not None:
+        if cross_kv is not None:
+            # decode fast path: precomputed cross K/V (B, S_mem, H, Dh)
+            q = dense(p["cross"]["q"], x)
+            b, s, d = q.shape
+            q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+            q = q * (1.0 / jnp.sqrt(cfg.head_dim).astype(q.dtype))
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, cross_kv["k"])
+            logits = logits + memory_bias.astype(logits.dtype)
+            w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(logits.dtype)
+            h = jnp.einsum("bhqk,bkhd->bqhd", w, cross_kv["v"]).reshape(b, s, d)
+            h = dense(p["cross"]["o"], h)
+        else:
+            h, _ = multi_head_attention(
+                p["cross"], x, num_heads=cfg.num_heads, bias=memory_bias,
+                memory=memory,
+            )
+        x = _post_ln_residual(p["ln_cross"], h, x, eps, r(1), cfg.hidden_dropout, det)
+
+    h = dense(p["mlp_in"], x)
+    h = jax.nn.gelu(h, approximate=False)
+    h = dense(p["mlp_out"], h)
+    x = _post_ln_residual(p["ln_mlp"], h, x, eps, r(2), cfg.hidden_dropout, det)
+    return x, new_cache
+
+
+def _run_text_blocks(blocks, x, cfg, bias, *, memory=None, memory_bias=None,
+                     cache=None, cross_kv=None, train=False, rngs=None):
+    """lax.scan over stacked layer params (+ per-layer cache/cross-kv)."""
+    num_layers = cfg.num_layers
+
+    def body(carry, xs):
+        x = carry
+        p = xs[0]
+        layer_cache = xs[1] if cache is not None else None
+        layer_cross = xs[2] if cross_kv is not None else None
+        layer_rng = xs[3] if rngs is not None else None
+        x, new_c = _text_block(
+            p, x, cfg, bias, memory=memory, memory_bias=memory_bias,
+            kv_cache=layer_cache, cache_index=cache["index"] if cache is not None else None,
+            cross_kv=layer_cross, train=train, rngs=layer_rng,
+        )
+        return x, new_c
+
+    xs = (
+        blocks,
+        {"k": cache["k"], "v": cache["v"]} if cache is not None else None,
+        cross_kv,
+        jax.random.split(rngs, num_layers) if rngs is not None else None,
+    )
+    # lax.scan can't take None leaves in xs; filter statically.
+    keep = [i for i, v in enumerate(xs) if v is not None]
+    packed = tuple(xs[i] for i in keep)
+
+    def body_packed(carry, packed_xs):
+        full = [None] * 4
+        for slot, v in zip(keep, packed_xs):
+            full[slot] = v
+        return body(carry, full)
+
+    x, new_caches = jax.lax.scan(body_packed, x, packed)
+    new_cache = None
+    if cache is not None:
+        new_cache = {"k": new_caches["k"], "v": new_caches["v"],
+                     "index": cache["index"] + 1}
+    return x, new_cache
+
+
+def _causal_bias(text_mask: jnp.ndarray) -> jnp.ndarray:
+    """Combine padding mask with a causal mask → (B, 1, S, S) additive bias
+    (reference :210-218)."""
+    s = text_mask.shape[-1]
+    causal = jnp.tril(jnp.ones((s, s), jnp.bool_))
+    combined = causal[None, :, :] & (text_mask[:, None, :] > 0)
+    return mask_to_bias(combined)[:, None, :, :]
+
+
+def _decode_bias(max_length: int, index: jnp.ndarray) -> jnp.ndarray:
+    """Single-position decode: attend to cached positions ≤ index
+    (reference :252-259)."""
+    valid = jnp.arange(max_length) <= index
+    return mask_to_bias(valid)[None, None, None, :]
+
+
+def text_pooler_apply(p, hidden: jnp.ndarray, mask: Optional[jnp.ndarray]):
+    """Single learned-query attention pool (reference :527-536)."""
+    d = hidden.shape[-1]
+    key = dense(p["key"], hidden) / jnp.sqrt(jnp.asarray(d, hidden.dtype))
+    value = dense(p["value"], hidden)
+    logits = jnp.einsum("mh,bnh->bmn", p["query"].astype(hidden.dtype), key)
+    if mask is not None:
+        logits = jnp.where(mask[:, None] > 0, logits, jnp.finfo(jnp.float32).min)
+    w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(hidden.dtype)
+    return jnp.einsum("bmn,bnh->bmh", w, value)[:, 0]
+
+
+def text_encoder_apply(
+    params,
+    cfg: TextConfig,
+    input_ids: jnp.ndarray,       # (B, S) int
+    attention_mask: jnp.ndarray,  # (B, S)
+    position_ids: Optional[jnp.ndarray] = None,
+    *,
+    cache: Optional[dict] = None,
+    train: bool = False,
+    rngs: Optional[jax.Array] = None,
+    pool: bool = True,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[dict]]:
+    """→ (pooled (B, D) or None, hidden (B, S, D), new_cache).
+
+    Full mode: causal self-attention over the padded sequence.
+    Decode mode (cache given): S == 1, attends over the cache.
+    """
+    det = not train
+    r = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
+
+    ids = input_ids.astype(jnp.int32)
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(ids.shape[-1]), ids.shape)
+    emb = params["embeddings"]
+    x = (
+        emb["word"][ids]
+        + emb["position"][position_ids.astype(jnp.int32)]
+        + emb["token_type"][jnp.zeros_like(ids)]
+    )
+    x = layer_norm(emb["ln"], x, cfg.layer_norm_eps)
+    x = dropout(r(0), x, cfg.hidden_dropout, det)
+
+    if cache is None:
+        bias = _causal_bias(attention_mask)
+    else:
+        bias = _decode_bias(cache["k"].shape[2], cache["index"])
+
+    x, new_cache = _run_text_blocks(params["blocks"], x, cfg, bias, cache=cache,
+                                    train=train, rngs=r(1) if rngs is not None else None)
+    pooled = text_pooler_apply(params["pooler"], x, attention_mask) if pool else None
+    return pooled, x, new_cache
+
+
+def precompute_cross_kv(blocks, cfg: TextConfig, memory: jnp.ndarray):
+    """Compute every decoder layer's cross-attention K/V from the audio
+    hidden states once per utterance → {'k','v': (L, B, S_mem, H, Dh)}.
+
+    The reference recomputes these for every generated token
+    (roberta_text_model.py:190-194 under the while_loop at caco.py:228).
+    """
+    def per_layer(p):
+        kv = dense(p["cross"]["kv"], memory)
+        k, v = jnp.split(kv, 2, axis=-1)
+        b, s, d = k.shape
+        shape = (b, s, cfg.num_heads, cfg.head_dim)
+        return {"k": k.reshape(shape), "v": v.reshape(shape)}
+
+    return jax.lax.map(per_layer, blocks)
+
+
+def caption_decoder_apply(
+    params,
+    cfg: TextConfig,
+    text_hidden: jnp.ndarray,      # (B, S, D) from the text encoder
+    attention_mask: jnp.ndarray,   # (B, S)
+    audio_hidden: Optional[jnp.ndarray],  # (B, S_a, D)
+    audio_mask: jnp.ndarray,       # (B, S_a)
+    *,
+    cache: Optional[dict] = None,
+    cross_kv: Optional[dict] = None,
+    train: bool = False,
+    rngs: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, Optional[dict]]:
+    """→ (vocab logits (B, S, V), new_cache). Reference :606-627."""
+    if cache is None:
+        bias = _causal_bias(attention_mask)
+    else:
+        bias = _decode_bias(cache["k"].shape[2], cache["index"])
+    memory_bias = mask_to_bias(audio_mask)[:, None, None, :]
+
+    x, new_cache = _run_text_blocks(
+        params["blocks"], text_hidden, cfg, bias,
+        memory=audio_hidden if cross_kv is None else None,
+        memory_bias=memory_bias, cache=cache, cross_kv=cross_kv,
+        train=train, rngs=rngs,
+    )
+    return dense(params["vocab_proj"], x), new_cache

