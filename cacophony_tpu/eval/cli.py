@@ -1,0 +1,74 @@
+"""Evaluation CLI: `python -m cacophony_tpu.eval --task {zs,ar,caption}`.
+
+One typed entry point replacing the reference's two CLIs
+(src/eval/eval_caco.py:19-22, eval_caco_torch.py:544-551).  Task configs
+follow the reference: ZS uses a 10 s patch budget (500 patches), retrieval
+and captioning 30 s (1500 patches) — eval_caco.py:320-384.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from cacophony_tpu.checkpoints.io import load_caco
+from cacophony_tpu.data.tokenizer import load_tokenizer
+from cacophony_tpu.eval.processors import PROCESSORS
+from cacophony_tpu.eval.tasks import (
+    DEFAULT_ZS_PREFIX,
+    TUT_ZS_PREFIX,
+    audio_captioning,
+    audio_retrieval,
+    zs_classification,
+)
+from cacophony_tpu.runtime.engine import CacoEngine
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("cacophony_tpu.eval")
+    p.add_argument("--ckpt_path", required=True, help="released CACO checkpoint")
+    p.add_argument("--task", choices=["zs", "ar", "caption"], default="zs")
+    p.add_argument("--dataset", default=None,
+                   help=f"one of {sorted(PROCESSORS)}; defaults per task")
+    p.add_argument("--split", default=None)
+    p.add_argument("--tokenizer", default="roberta-base",
+                   help="HF name or local dir with vocab.json/merges.txt")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--max_text_len", type=int, default=100)
+    p.add_argument("--output_dir", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    tokenizer = load_tokenizer(args.tokenizer)
+    cfg, params = load_caco(args.ckpt_path)
+
+    if args.task == "zs":
+        datasets = [args.dataset] if args.dataset else \
+            ["esc50", "tutas2017", "us8k", "vggsound"]
+        engine = CacoEngine(cfg, params, tokenizer=tokenizer,
+                            buffer_seconds=10.0, batch_size=args.batch_size,
+                            max_text_len=args.max_text_len)
+        results = {}
+        for name in datasets:
+            proc = PROCESSORS[name]()
+            prefix = TUT_ZS_PREFIX if name == "tutas2017" else DEFAULT_ZS_PREFIX
+            print(f"== zero-shot {name} ==")
+            results[name] = zs_classification(engine, proc,
+                                              split=args.split or "",
+                                              text_prefix=prefix)
+        return results
+
+    engine = CacoEngine(cfg, params, tokenizer=tokenizer, buffer_seconds=30.0,
+                        batch_size=args.batch_size, max_text_len=args.max_text_len)
+    name = args.dataset or "clotho"
+    proc = PROCESSORS[name]()
+    split = args.split or ("evaluation" if name == "clotho" else "test")
+    if args.task == "ar":
+        return audio_retrieval(engine, proc, split=split)
+    return audio_captioning(engine, proc, split=split, output_dir=args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""CacoEngine: compiled, batched, mesh-aware inference entry points.
+
+Replaces the reference's per-file, batch-size-1, host-preprocessed eval loop
+(SURVEY §3.2: host TF frontend serialized with pmap'd device compute,
+eval_caco.py:85-95) with:
+
+- ONE compiled program per task: device-side frontend fused with the
+  encoder under `jit` — the mel frontend never stalls the MXU
+- fixed-size batch buckets (pad + mask + slice) so shapes are static and
+  nothing recompiles as dataset sizes vary
+- optional ('dp','tp') mesh: params tp-sharded, batches dp-sharded,
+  gallery scoring sharded over the mesh
+- KV-cached captioning decode compiled once per (max_length, temperature)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cacophony_tpu.configs import CacoConfig, FrontendConfig, PatchConfig
+from cacophony_tpu.frontend import wav_to_patches
+from cacophony_tpu.models.caco import (
+    contrastive_logits,
+    decode,
+    get_audio_embedding,
+    get_text_embedding,
+)
+from cacophony_tpu.parallel.mesh import shard_batch, shard_params
+
+
+class CacoEngine:
+    def __init__(
+        self,
+        cfg: CacoConfig,
+        params,
+        *,
+        tokenizer=None,
+        mesh=None,
+        buffer_seconds: float = 10.0,
+        patches_seq_len: Optional[int] = None,
+        max_text_len: int = 100,
+        batch_size: int = 32,
+    ):
+        self.cfg = cfg
+        self.front = FrontendConfig()
+        buffer_samples = int(round(buffer_seconds * self.front.sample_rate))
+        if patches_seq_len is None:
+            # reference sizing rule (eval_caco.py:321,351): 8 freq patches
+            # per 16-frame time patch at hop 160
+            patches_seq_len = buffer_samples * 8 // 160 // 16
+        self.patch = PatchConfig(patches_seq_len=patches_seq_len)
+        self.buffer_samples = buffer_samples
+        self.max_text_len = max_text_len
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.params = shard_params(params, mesh) if mesh is not None else params
+
+    # ------------------------------------------------------------ compiled
+
+    @functools.cached_property
+    def _audio_fn(self):
+        cfg, front, patch = self.cfg, self.front, self.patch
+
+        @jax.jit
+        def fn(params, bufs, lens):
+            batch = jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(bufs, lens)
+            emb, _ = get_audio_embedding(
+                params, cfg, batch["audio_patches"], batch["audio_time_inds"],
+                batch["audio_freq_inds"], batch["audio_mask"],
+            )
+            return emb
+
+        return fn
+
+    @functools.cached_property
+    def _patches_fn(self):
+        cfg, front, patch = self.cfg, self.front, self.patch
+
+        @jax.jit
+        def fn(params, bufs, lens):
+            return jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(bufs, lens)
+
+        return fn
+
+    @functools.cached_property
+    def _audio_from_patches_fn(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def fn(params, batch):
+            return get_audio_embedding(
+                params, cfg, batch["audio_patches"], batch["audio_time_inds"],
+                batch["audio_freq_inds"], batch["audio_mask"],
+            )
+
+        return fn
+
+    @functools.cached_property
+    def _text_fn(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def fn(params, ids, mask):
+            emb, _ = get_text_embedding(params, cfg, ids, mask)
+            return emb
+
+        return fn
+
+    @functools.cached_property
+    def _score_fn(self):
+        @jax.jit
+        def fn(params, a_emb, t_emb):
+            return contrastive_logits(params, a_emb, t_emb)
+
+        return fn
+
+    def _decode_fn(self, max_length: int, temperature: float):
+        cfg = self.cfg
+
+        @jax.jit
+        def fn(params, batch, rng):
+            return decode(params, cfg, batch, max_length=max_length,
+                          temperature=temperature,
+                          bos_id=self.tokenizer.bos_token_id,
+                          eos_id=self.tokenizer.eos_token_id,
+                          pad_id=self.tokenizer.pad_token_id, rng=rng)
+
+        return fn
+
+    # ------------------------------------------------------------- helpers
+
+    def _buffers(self, wavs: Sequence[np.ndarray]):
+        """Pad a list of fp32 waveforms into (N_pad, buffer) + lengths, where
+        N_pad is the next multiple of batch_size (static shapes)."""
+        n = len(wavs)
+        n_pad = -(-n // self.batch_size) * self.batch_size
+        bufs = np.zeros((n_pad, self.buffer_samples), np.float32)
+        lens = np.zeros((n_pad,), np.int32)
+        for i, w in enumerate(wavs):
+            k = min(len(w), self.buffer_samples)
+            bufs[i, :k] = w[:k]
+            lens[i] = k
+        return bufs, lens, n
+
+    def _device(self, tree):
+        if self.mesh is not None:
+            return shard_batch(tree, self.mesh)
+        return tree
+
+    # -------------------------------------------------------------- public
+
+    def embed_audio(self, wavs: Sequence[np.ndarray]) -> np.ndarray:
+        """16 kHz fp32 waveforms → L2-normalized embeddings (n, proj)."""
+        bufs, lens, n = self._buffers(wavs)
+        out = []
+        for i in range(0, len(bufs), self.batch_size):
+            chunk = self._device({"b": bufs[i:i + self.batch_size],
+                                  "l": lens[i:i + self.batch_size]})
+            out.append(np.asarray(self._audio_fn(self.params, chunk["b"], chunk["l"])))
+        return np.concatenate(out)[:n]
+
+    def audio_patch_batch(self, wavs: Sequence[np.ndarray]):
+        """Device patch batch for one bucket (captioning/HEAR paths)."""
+        bufs, lens, n = self._buffers(wavs)
+        chunk = self._device({"b": bufs, "l": lens})
+        return self._patches_fn(self.params, chunk["b"], chunk["l"]), n
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """Tokenize (pad-to-max like the reference, dataset.py:128-140) and
+        embed; returns (n, proj) normalized."""
+        if self.tokenizer is None:
+            raise ValueError("engine needs a tokenizer for text")
+        tok = self.tokenizer(list(texts), padding="max_length", truncation=True,
+                             max_length=self.max_text_len, return_tensors="np")
+        ids = np.asarray(tok["input_ids"], np.int32)
+        mask = np.asarray(tok["attention_mask"], np.int32)
+        n = len(ids)
+        n_pad = -(-n // self.batch_size) * self.batch_size
+        if n_pad != n:
+            pad = n_pad - n
+            ids = np.concatenate([ids, np.ones((pad, ids.shape[1]), np.int32)])
+            mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), np.int32)])
+            mask[n:, 0] = 1  # avoid fully-masked softmax rows in padding
+        out = []
+        for i in range(0, n_pad, self.batch_size):
+            chunk = self._device({"i": ids[i:i + self.batch_size],
+                                  "m": mask[i:i + self.batch_size]})
+            out.append(np.asarray(self._text_fn(self.params, chunk["i"], chunk["m"])))
+        return np.concatenate(out)[:n]
+
+    def score(self, audio_emb: np.ndarray, text_emb: np.ndarray) -> np.ndarray:
+        """exp(logit_scale)·A@T.T over the full gallery (device matmul;
+        sharded over the mesh when one is configured)."""
+        return np.asarray(self._score_fn(self.params, jnp.asarray(audio_emb),
+                                         jnp.asarray(text_emb)))
+
+    def caption(self, wavs: Sequence[np.ndarray], *, max_length: int = 100,
+                temperature: float = 0.1, seed: int = 42) -> List[str]:
+        """AR captioning (reference eval defaults: max 100, T=0.1,
+        PRNGKey(42); eval_caco.py:261,271)."""
+        if self.tokenizer is None:
+            raise ValueError("engine needs a tokenizer for captioning")
+        batch, n = self.audio_patch_batch(wavs)
+        fn = self._decode_fn(max_length, temperature)
+        ids = fn(self.params, batch, jax.random.PRNGKey(seed))
+        return self.tokenizer.batch_decode(np.asarray(ids)[:n],
+                                           skip_special_tokens=True)

@@ -1,0 +1,104 @@
+"""Tokenizer, audio IO, and CacoEngine tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cacophony_tpu import configs
+from cacophony_tpu.data.audio_io import load_audio, pad_to_buffer, read_wav
+from cacophony_tpu.data.tokenizer import ByteLevelBPETokenizer, _bytes_to_unicode
+from cacophony_tpu.models.caco import caco_init
+from cacophony_tpu.runtime import CacoEngine
+
+
+def _byte_tokenizer(extra_merges=()):
+    """Degenerate byte-level BPE: specials + all 256 byte symbols (+ merges).
+    A valid tokenizer for any text; vocab size 260+len(merges)."""
+    byte_chars = list(_bytes_to_unicode().values())
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    for c in byte_chars:
+        vocab[c] = len(vocab)
+    for a, b in extra_merges:
+        vocab[a + b] = len(vocab)
+    return ByteLevelBPETokenizer(vocab, list(extra_merges))
+
+
+def test_tokenizer_roundtrip():
+    tok = _byte_tokenizer()
+    for text in ["hello world", "A dog barks, loudly!", "café ☕"]:
+        enc = tok([text], padding="max_length", max_length=64)
+        ids = enc["input_ids"][0]
+        assert ids[0] == tok.bos_token_id
+        assert tok.eos_token_id in ids
+        assert enc["attention_mask"][0].sum() == (ids != tok.pad_token_id).sum()
+        assert tok.batch_decode([ids])[0] == text
+
+
+def test_tokenizer_merges_and_truncation():
+    tok = _byte_tokenizer(extra_merges=[("h", "e"), ("he", "l"), ("hel", "l")])
+    ids = tok.encode_text("hello")
+    # 'hell' merged into one token + 'o'
+    assert len(ids) == 2
+    enc = tok(["hello hello hello"], max_length=5)
+    assert enc["input_ids"].shape == (1, 5)
+    assert enc["input_ids"][0, -1] == tok.eos_token_id  # truncation keeps EOS
+
+
+def test_wav_io_roundtrip(tmp_path, rng):
+    from scipy.io import wavfile
+
+    sr = 44_100
+    wav = (rng.randn(sr) * 0.1).astype(np.float32)
+    path = str(tmp_path / "t.wav")
+    wavfile.write(path, sr, (wav * 32767).astype(np.int16))
+
+    data, got_sr = read_wav(path)
+    assert got_sr == sr
+    np.testing.assert_allclose(data, wav, atol=1e-3)
+
+    out = load_audio(path)  # resampled to 16 k
+    assert out.shape[0] == round(sr * 16000 / sr)  # 1 s → 16000 samples
+
+    buf, n = pad_to_buffer(out, 32000)
+    assert buf.shape == (32000,) and n == out.shape[0]
+    assert buf[n:].sum() == 0
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = configs.caco_tiny(vocab_size=300)
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    return CacoEngine(cfg, params, tokenizer=_byte_tokenizer(),
+                      buffer_seconds=1.0, max_text_len=24, batch_size=4)
+
+
+def test_engine_embed_audio_bucketing(engine, rng):
+    # 6 clips with batch_size 4 → two buckets, padded; results sliced to 6
+    wavs = [rng.randn(np.random.RandomState(i).randint(4000, 16000)).astype(np.float32)
+            for i in range(6)]
+    emb = engine.embed_audio(wavs)
+    assert emb.shape == (6, engine.cfg.projection_size)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+    # bucketing must not change results: same clip alone vs in a batch
+    solo = engine.embed_audio([wavs[0]])
+    np.testing.assert_allclose(solo[0], emb[0], atol=1e-5)
+
+
+def test_engine_text_and_score(engine):
+    texts = ["a dog barking", "rain on a window", "a trumpet solo"]
+    temb = engine.embed_texts(texts)
+    assert temb.shape == (3, engine.cfg.projection_size)
+    np.testing.assert_allclose(np.linalg.norm(temb, axis=-1), 1.0, atol=1e-5)
+    wavs = [np.random.RandomState(0).randn(8000).astype(np.float32)]
+    aemb = engine.embed_audio(wavs)
+    logits = engine.score(aemb, temb)
+    assert logits.shape == (1, 3)
+    assert np.isfinite(logits).all()
+
+
+def test_engine_caption(engine, rng):
+    wavs = [rng.randn(8000).astype(np.float32) for _ in range(2)]
+    caps = engine.caption(wavs, max_length=8, temperature=1.0, seed=0)
+    assert len(caps) == 2
+    assert all(isinstance(c, str) for c in caps)
