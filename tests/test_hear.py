@@ -1,0 +1,157 @@
+"""HEAR subsystem: scores, event extraction, and the full two-phase
+pipeline on a synthetic task."""
+
+import csv
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from cacophony_tpu import configs
+from cacophony_tpu.hear import score as score_lib
+from cacophony_tpu.hear.predictions import (
+    FASTER_PARAM_GRID,
+    create_events_from_prediction,
+    task_predictions,
+)
+from cacophony_tpu.models.caco import caco_init
+
+
+def test_scene_scores():
+    preds = np.asarray([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4]])
+    targets = np.asarray([[1, 0], [0, 1], [0, 1]], np.float32)
+    assert score_lib.top1_accuracy(preds, targets) == pytest.approx(2 / 3)
+    assert 0 <= score_lib.mean_average_precision(preds, targets) <= 1
+    assert 0 <= score_lib.aucroc(preds, targets) <= 1
+    d = score_lib.d_prime(preds, targets)
+    assert np.isfinite(d)
+
+
+def test_chroma_accuracy_octave_invariance():
+    # class 0 vs class 12 are the same chroma
+    preds = np.zeros((1, 24))
+    preds[0, 12] = 1.0
+    targets = np.zeros((1, 24), np.float32)
+    targets[0, 0] = 1.0
+    assert score_lib.chroma_accuracy(preds, targets) == 1.0
+    assert score_lib.top1_accuracy(preds, targets) == 0.0
+
+
+def test_event_extraction_and_f1():
+    ts = np.arange(0, 2000, 100.0)  # 100 ms frames
+    pred = np.zeros((len(ts), 2))
+    pred[3:9, 0] = 0.9    # event ~300-800ms class A
+    pred[5, 0] = 0.2      # dropout frame → median filter should bridge it
+    pred[15:17, 1] = 0.9  # short event class B
+    events = create_events_from_prediction(
+        pred, ts, {0: "A", 1: "B"}, median_filter_ms=250, min_duration_ms=150)
+    labels = [e["label"] for e in events]
+    assert "A" in labels
+    a = [e for e in events if e["label"] == "A"][0]
+    assert a["start"] <= 400 and a["end"] >= 700
+
+    ref = [dict(a, filename="f.wav")]
+    est = [dict(a, filename="f.wav")]
+    assert score_lib.segment_based_f1(ref, est) == 1.0
+    assert score_lib.event_based_f1(ref, est) == 1.0
+    assert score_lib.onset_only_event_based_f1(ref, est) == 1.0
+    shifted = [dict(a, filename="f.wav", start=a["start"] + 500,
+                    end=a["end"] + 500)]
+    assert score_lib.onset_only_event_based_f1(ref, shifted) == 0.0
+
+
+def _write_wav(path, seconds, sr, seed):
+    from scipy.io import wavfile
+
+    rng = np.random.RandomState(seed)
+    wav = (rng.randn(int(seconds * sr)) * 0.1).astype(np.float32)
+    wavfile.write(str(path), sr, (wav * 32767).astype(np.int16))
+
+
+@pytest.fixture()
+def hear_task_dir(tmp_path):
+    """Minimal HEAR scene task: 8 clips, 2 classes, train/valid/test."""
+    task = tmp_path / "tasks" / "toy-v1.0.0-full"
+    (task / "16000").mkdir(parents=True)
+    metadata = {
+        "task_name": "toy",
+        "embedding_type": "scene",
+        "prediction_type": "multiclass",
+        "splits": ["train", "valid", "test"],
+        "evaluation": ["top1_acc"],
+        "sample_duration": 1.0,
+    }
+    (task / "task_metadata.json").write_text(json.dumps(metadata))
+    with open(task / "labelvocabulary.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["idx", "label"])
+        w.writerow(["0", "dog"])
+        w.writerow(["1", "rain"])
+    seed = 0
+    for split, n in [("train", 6), ("valid", 4), ("test", 4)]:
+        d = task / "16000" / split
+        d.mkdir(parents=True)
+        split_json = {}
+        for i in range(n):
+            name = f"{split}_{i}.wav"
+            _write_wav(d / name, 1.0, 16_000, seed)
+            split_json[name] = ["dog" if i % 2 == 0 else "rain"]
+            seed += 1
+        (task / f"{split}.json").write_text(json.dumps(split_json))
+    return task
+
+
+def test_hear_two_phase_pipeline(hear_task_dir, tmp_path, monkeypatch):
+    """Phase A (embed via tiny CACO) then phase B (probe train + score)."""
+    from cacophony_tpu.hear.embeddings import CacoHearEmbedder
+    from cacophony_tpu.hear.runner import task_embeddings
+
+    cfg = configs.caco_tiny()
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    embedder = CacoHearEmbedder(cfg, params, sample_rate=16_000,
+                                audio_max_len_s=1.0, batch_size=4)
+
+    embed_task_dir = tmp_path / "embeddings" / "caco" / hear_task_dir.name
+    task_embeddings(embedder, hear_task_dir, embed_task_dir)
+
+    # disk contract
+    for split in ["train", "valid", "test"]:
+        assert (embed_task_dir / f"{split}.embeddings.npy").exists()
+        assert (embed_task_dir / f"{split}.target-labels.pkl").exists()
+        n, dim = json.loads(
+            (embed_task_dir / f"{split}.embedding-dimensions.json").read_text())
+        assert dim == cfg.projection_size
+
+    result = task_predictions(str(embed_task_dir), grid=FASTER_PARAM_GRID,
+                              grid_points=2)
+    assert "top1_acc" in result["test"]
+    assert 0.0 <= result["test"]["top1_acc"] <= 1.0
+    assert (embed_task_dir / "test.predicted-scores.json").exists()
+    assert (embed_task_dir / "prediction-done.json").exists()
+
+
+def test_hear_event_embeddings_shapes(tmp_path):
+    from cacophony_tpu.hear.embeddings import CacoHearEmbedder, labels_for_timestamps
+
+    cfg = configs.caco_tiny()
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    embedder = CacoHearEmbedder(cfg, params, sample_rate=16_000,
+                                audio_max_len_s=2.0, batch_size=2)
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"e{i}.wav"
+        _write_wav(p, 1.2, 16_000, seed=i)
+        paths.append(str(p))
+    emb, ts = embedder.event_embeddings(paths)
+    assert emb.shape[0] == 2 and emb.shape[2] == cfg.audio.hidden_size
+    assert ts.shape == emb.shape[:2]
+    assert ts[0, -1] == pytest.approx(2000.0)
+
+    labels = labels_for_timestamps(
+        [[{"start": 0, "end": 900, "label": "x"}], []], ts)
+    assert "x" in labels[0][0]
+    assert labels[1][0] == []
