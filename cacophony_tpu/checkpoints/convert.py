@@ -193,3 +193,161 @@ def convert_audiomae_params(ref_params: dict) -> dict:
     if "AudioDecoder_0" in ref_params:
         out["decoder"] = convert_audio_decoder(ref_params["AudioDecoder_0"])
     return out
+
+
+# --------------------------------------------------- inverse (export) maps
+
+def _unstack(tree: dict):
+    """Split a stacked (L, ...) block tree into per-layer trees."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    num = leaves[0].shape[0]
+    return [jax.tree_util.tree_map(lambda x: np.asarray(x)[i], tree)
+            for i in range(num)]
+
+
+def _split_heads_kernel(w, num_heads):
+    d_in, d_out = w.shape
+    return w.reshape(d_in, num_heads, d_out // num_heads)
+
+
+def _audio_block_to_reference(block: dict, num_heads: int) -> dict:
+    wq, wk, wv = np.split(block["attn"]["qkv"]["w"], 3, axis=-1)
+    bq, bk, bv = np.split(block["attn"]["qkv"]["b"], 3)
+    d = wq.shape[0]
+    hd = d // num_heads
+    return {
+        "LayerNorm_0": {"scale": block["ln1"]["scale"], "bias": block["ln1"]["bias"]},
+        "MultiHeadDotProductAttention_0": {
+            "query": {"kernel": _split_heads_kernel(wq, num_heads),
+                      "bias": bq.reshape(num_heads, hd)},
+            "key": {"kernel": _split_heads_kernel(wk, num_heads),
+                    "bias": bk.reshape(num_heads, hd)},
+            "value": {"kernel": _split_heads_kernel(wv, num_heads),
+                      "bias": bv.reshape(num_heads, hd)},
+            "out": {"kernel": block["attn"]["o"]["w"].reshape(num_heads, hd, d),
+                    "bias": block["attn"]["o"]["b"]},
+        },
+        "LayerNorm_1": {"scale": block["ln2"]["scale"], "bias": block["ln2"]["bias"]},
+        "MLP_0": {
+            "Dense_0": {"kernel": block["mlp"]["w1"]["w"], "bias": block["mlp"]["w1"]["b"]},
+            "Dense_1": {"kernel": block["mlp"]["w2"]["w"], "bias": block["mlp"]["w2"]["b"]},
+        },
+    }
+
+
+def audio_encoder_to_reference(params: dict, num_heads: int) -> dict:
+    out = {
+        "Dense_0": {"kernel": np.asarray(params["patch_proj"]["w"]),
+                    "bias": np.asarray(params["patch_proj"]["b"])},
+        "freq_positional_embedding": np.asarray(params["freq_pos_embed"]),
+        "LayerNorm_0": {"scale": np.asarray(params["ln_f"]["scale"]),
+                        "bias": np.asarray(params["ln_f"]["bias"])},
+    }
+    for i, block in enumerate(_unstack(params["blocks"])):
+        out[f"AudioEncoderLayer_{i}"] = _audio_block_to_reference(block, num_heads)
+    return out
+
+
+def _text_blocks_to_reference(blocks: dict) -> dict:
+    """Our stacked text blocks → scan layout (leaves keep the (L,...) axis)."""
+    wq, wk, wv = (np.asarray(x) for x in np.split(
+        np.asarray(blocks["attn"]["qkv"]["w"]), 3, axis=-1))
+    bq, bk, bv = (np.asarray(x) for x in np.split(
+        np.asarray(blocks["attn"]["qkv"]["b"]), 3, axis=-1))
+    out = {
+        "attention": {
+            "self": {
+                "query": {"kernel": wq, "bias": bq},
+                "key": {"kernel": wk, "bias": bk},
+                "value": {"kernel": wv, "bias": bv},
+            },
+            "output": {
+                "dense": {"kernel": np.asarray(blocks["attn"]["o"]["w"]),
+                          "bias": np.asarray(blocks["attn"]["o"]["b"])},
+                "LayerNorm": {"scale": np.asarray(blocks["ln_attn"]["scale"]),
+                              "bias": np.asarray(blocks["ln_attn"]["bias"])},
+            },
+        },
+        "intermediate": {"dense": {"kernel": np.asarray(blocks["mlp_in"]["w"]),
+                                   "bias": np.asarray(blocks["mlp_in"]["b"])}},
+        "output": {
+            "dense": {"kernel": np.asarray(blocks["mlp_out"]["w"]),
+                      "bias": np.asarray(blocks["mlp_out"]["b"])},
+            "LayerNorm": {"scale": np.asarray(blocks["ln_mlp"]["scale"]),
+                          "bias": np.asarray(blocks["ln_mlp"]["bias"])},
+        },
+    }
+    if "cross" in blocks:
+        ck, cv = np.split(np.asarray(blocks["cross"]["kv"]["w"]), 2, axis=-1)
+        cbk, cbv = np.split(np.asarray(blocks["cross"]["kv"]["b"]), 2, axis=-1)
+        out["crossattention"] = {
+            "self": {
+                "query": {"kernel": np.asarray(blocks["cross"]["q"]["w"]),
+                          "bias": np.asarray(blocks["cross"]["q"]["b"])},
+                "key": {"kernel": ck, "bias": cbk},
+                "value": {"kernel": cv, "bias": cbv},
+            },
+            "output": {
+                "dense": {"kernel": np.asarray(blocks["cross"]["o"]["w"]),
+                          "bias": np.asarray(blocks["cross"]["o"]["b"])},
+                "LayerNorm": {"scale": np.asarray(blocks["ln_cross"]["scale"]),
+                              "bias": np.asarray(blocks["ln_cross"]["bias"])},
+            },
+        }
+    return out
+
+
+def text_encoder_to_reference(params: dict) -> dict:
+    emb = params["embeddings"]
+    return {
+        "embeddings": {
+            "word_embeddings": {"embedding": np.asarray(emb["word"])},
+            "position_embeddings": {"embedding": np.asarray(emb["position"])},
+            "token_type_embeddings": {"embedding": np.asarray(emb["token_type"])},
+            "LayerNorm": {"scale": np.asarray(emb["ln"]["scale"]),
+                          "bias": np.asarray(emb["ln"]["bias"])},
+        },
+        "encoder": {"layer": {"ScanFlaxRobertaLayer_0":
+                              _text_blocks_to_reference(params["blocks"])}},
+        "pooler": {
+            "key_proj": {"kernel": np.asarray(params["pooler"]["key"]["w"]),
+                         "bias": np.asarray(params["pooler"]["key"]["b"])},
+            "value_proj": {"kernel": np.asarray(params["pooler"]["value"]["w"]),
+                           "bias": np.asarray(params["pooler"]["value"]["b"])},
+            "attention_pool_query": np.asarray(params["pooler"]["query"]),
+        },
+    }
+
+
+def caption_decoder_to_reference(params: dict) -> dict:
+    return {
+        "encoder": {"layer": {"ScanFlaxRobertaLayer_0":
+                              _text_blocks_to_reference(params["blocks"])}},
+        "decoder_proj": {"kernel": np.asarray(params["vocab_proj"]["w"]),
+                         "bias": np.asarray(params["vocab_proj"]["b"])},
+    }
+
+
+def caco_params_to_reference(params: dict, audio_num_heads: int) -> dict:
+    """Our CACO param tree → released-checkpoint layout (the exact inverse of
+    convert_caco_params; useful for exporting checkpoints the reference
+    implementation can load)."""
+    out = {
+        "audio_module": audio_encoder_to_reference(params["audio"], audio_num_heads),
+        "text_module": text_encoder_to_reference(params["text"]),
+        "audio_attention_pool": {
+            "Dense_0": {"kernel": np.asarray(params["audio_pool"]["kv"]["w"]),
+                        "bias": np.asarray(params["audio_pool"]["kv"]["b"])},
+            "query": np.asarray(params["audio_pool"]["query"]),
+            "Dense_1": {"kernel": np.asarray(params["audio_pool"]["out"]["w"]),
+                        "bias": np.asarray(params["audio_pool"]["out"]["b"])},
+        },
+        "text_proj": {"kernel": np.asarray(params["text_proj"]["w"]),
+                      "bias": np.asarray(params["text_proj"]["b"])},
+        "logit_scale": np.asarray(params["logit_scale"]),
+    }
+    if "decoder" in params:
+        out["decoder_module"] = caption_decoder_to_reference(params["decoder"])
+    return out
