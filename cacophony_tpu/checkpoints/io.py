@@ -90,3 +90,52 @@ def load_params(path: str, like=None):
         if like is not None:
             return ckptr.restore(path, like)
         return ckptr.restore(path)
+
+
+# ---------------------------------------------------- training state resume
+
+def save_train_state(state, path: str, *, keep: int = 3):
+    """Checkpoint a TrainState (params + optimizer state + step) with orbax,
+    under path/step_N; prunes old steps beyond `keep`.
+
+    The reference has no training and therefore no resume (SURVEY §5); this
+    plus `load_train_state` is the crash-recovery story for long runs.
+    """
+    import re
+    import shutil
+
+    step = int(jax.device_get(state.step))
+    save_params(tuple(state), os.path.join(path, f"step_{step:08d}"))
+    if keep:
+        steps = sorted(
+            int(m.group(1))
+            for m in (re.match(r"step_(\d+)", d) for d in os.listdir(path))
+            if m
+        )
+        for old in steps[:-keep]:
+            shutil.rmtree(os.path.join(path, f"step_{old:08d}"),
+                          ignore_errors=True)
+
+
+def latest_step(path: str) -> Optional[int]:
+    import re
+
+    if not os.path.isdir(path):
+        return None
+    steps = sorted(
+        int(m.group(1))
+        for m in (re.match(r"step_(\d+)", d) for d in os.listdir(path))
+        if m
+    )
+    return steps[-1] if steps else None
+
+
+def load_train_state(path: str, like, step: Optional[int] = None):
+    """Restore a TrainState saved by save_train_state. `like` provides the
+    tree structure/shardings (an abstract or concrete TrainState)."""
+    if step is None:
+        step = latest_step(path)
+        if step is None:
+            raise FileNotFoundError(f"no train-state checkpoints under {path}")
+    restored = load_params(os.path.join(path, f"step_{step:08d}"), tuple(like))
+    return type(like)(*restored)

