@@ -44,8 +44,8 @@ from cacophony_tpu.models.caco import caco_init, get_audio_embedding
 # fallback if no CPU backend can be initialized alongside the TPU.
 _FALLBACK_CPU_CLIPS_PER_S = 1.0
 
-BATCH = 32
-ITERS = 15
+BATCH = 128  # bf16 sweep on v5e: B=32→514, B=64→648, B=128→795 clips/s
+ITERS = 8
 
 
 def _pipeline(cfg, front, patch):

@@ -351,3 +351,38 @@ def caco_params_to_reference(params: dict, audio_num_heads: int) -> dict:
     if "decoder" in params:
         out["decoder_module"] = caption_decoder_to_reference(params["decoder"])
     return out
+
+
+# ------------------------------------------- pretrained-weight transplants
+
+def transplant_audiomae_encoder(caco_params: dict, mae_params: dict) -> dict:
+    """Initialize CACO's audio tower from a stage-1 AudioMAE checkpoint
+    (reference ast_update_pretrained_parameters, mae.py:227-234: overwrites
+    params['audio_module'] with the MAE's encoder subtree)."""
+    out = dict(caco_params)
+    out["audio"] = mae_params["encoder"]
+    return out
+
+
+def convert_hf_roberta(hf_params: dict) -> dict:
+    """HuggingFace FlaxRobertaModel params → our text-tower format (for
+    training-time initialization; reference equivalent:
+    roberta_update_pretrained_parameters, roberta_text_model.py:680-734,
+    which stacks per-layer HF weights into the scan layout).
+
+    The HF tree: embeddings/{word_embeddings,position_embeddings,
+    token_type_embeddings,LayerNorm}, encoder/layer/{'0'..'L-1'}/...
+    Note: the HF pooler is a dense-tanh head, NOT our attention pooler —
+    pooler params are left for fresh initialization by the caller.
+    """
+    layer_tree = hf_params["encoder"]["layer"]
+    stacked = _stack([layer_tree[str(i)] for i in range(len(layer_tree))])
+    return {
+        "embeddings": {
+            "word": _np(hf_params["embeddings"]["word_embeddings"]["embedding"]),
+            "position": _np(hf_params["embeddings"]["position_embeddings"]["embedding"]),
+            "token_type": _np(hf_params["embeddings"]["token_type_embeddings"]["embedding"]),
+            "ln": _ln(hf_params["embeddings"]["LayerNorm"]),
+        },
+        "blocks": _text_blocks(stacked),
+    }
