@@ -78,6 +78,8 @@ class AudioEncoderConfig:
     max_time_ind: int = 10_000
     dropout_rate: float = 0.0
     drop_path_rate: float = 0.0
+    # fused Pallas flash attention (TPU only; inference/training forward)
+    flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:

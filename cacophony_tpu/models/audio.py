@@ -87,14 +87,15 @@ def audio_decoder_init(rng, cfg: AudioDecoderConfig, encoder_hidden: int):
 # ------------------------------------------------------------------ apply
 
 def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
-               train=False, rngs=None):
+               train=False, rngs=None, flash_mask=None):
     """Pre-LN block: x + DropPath(MHA(LN(x))), x + DropPath(MLP(LN(x)))
     (reference mae.py:72-98; MLP = Dense→SiLU→Dense, mae.py:55-70)."""
     det = not train
     r = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
 
     h = layer_norm(p["ln1"], x, LN_EPS)
-    h, _ = multi_head_attention(p["attn"], h, num_heads=num_heads, bias=bias, dtype=dtype)
+    h, _ = multi_head_attention(p["attn"], h, num_heads=num_heads, bias=bias,
+                                dtype=dtype, flash_mask=flash_mask)
     h = dropout(r(0), h, dropout_rate, det)
     x = x + drop_path(r(1), h, drop_path_rate, det)
 
@@ -109,7 +110,7 @@ def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
 
 
 def _run_blocks(blocks, x, bias, *, num_heads, dropout_rate, drop_path_rate,
-                dtype, train, rngs):
+                dtype, train, rngs, flash_mask=None):
     def body(carry, xs):
         x = carry
         if rngs is not None:
@@ -118,7 +119,7 @@ def _run_blocks(blocks, x, bias, *, num_heads, dropout_rate, drop_path_rate,
             p, layer_rng = xs, None
         x = _vit_block(p, x, bias, num_heads=num_heads, dropout_rate=dropout_rate,
                        drop_path_rate=drop_path_rate, dtype=dtype, train=train,
-                       rngs=layer_rng)
+                       rngs=layer_rng, flash_mask=flash_mask)
         return x, None
 
     num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
@@ -143,10 +144,13 @@ def audio_encoder_apply(
     x = dense(params["patch_proj"], patches.astype(dtype), dtype)
     x = x + sincos_time_embedding(time_inds, cfg.hidden_size).astype(x.dtype)
     x = x + params["freq_pos_embed"].astype(x.dtype)[freq_inds]
-    bias = mask_to_bias(mask)[:, None, None, :]  # key-side mask only
+    if cfg.flash_attention:
+        bias, flash_mask = None, mask
+    else:
+        bias, flash_mask = mask_to_bias(mask)[:, None, None, :], None  # key-side
     x = _run_blocks(params["blocks"], x, bias, num_heads=cfg.num_heads,
                     dropout_rate=cfg.dropout_rate, drop_path_rate=cfg.drop_path_rate,
-                    dtype=dtype, train=train, rngs=rngs)
+                    dtype=dtype, train=train, rngs=rngs, flash_mask=flash_mask)
     return layer_norm(params["ln_f"], x, LN_EPS)
 
 

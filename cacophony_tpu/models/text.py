@@ -209,9 +209,13 @@ def _causal_bias(text_mask: jnp.ndarray) -> jnp.ndarray:
 
 def _decode_bias(max_length: int, index: jnp.ndarray) -> jnp.ndarray:
     """Single-position decode: attend to cached positions ≤ index
-    (reference :252-259)."""
-    valid = jnp.arange(max_length) <= index
-    return mask_to_bias(valid)[None, None, None, :]
+    (reference :252-259). index: scalar, or (B,) for per-sample positions
+    (continuous batching)."""
+    if jnp.ndim(index) == 0:
+        valid = jnp.arange(max_length) <= index
+        return mask_to_bias(valid)[None, None, None, :]
+    valid = jnp.arange(max_length)[None, :] <= index[:, None]
+    return mask_to_bias(valid)[:, None, None, :]
 
 
 def text_pooler_apply(p, hidden: jnp.ndarray, mask: Optional[jnp.ndarray]):

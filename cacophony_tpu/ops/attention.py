@@ -44,6 +44,40 @@ def _split_heads(x, num_heads):
     return x.reshape(b, s, num_heads, d // num_heads)
 
 
+def flash_self_attention(
+    q: jnp.ndarray,  # (B, S, H, Dh)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,  # (B, S) 1 = valid (key-side padding mask)
+    *,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Fused Pallas flash attention (TPU): O(S) HBM instead of materializing
+    the (B, H, S, S) logits.  Padding is expressed as segment ids (pad
+    tokens live in segment 0, valid in segment 1), which reproduces the
+    key-side additive-bias masking exactly for valid queries; padded
+    queries' outputs are garbage either way and masked downstream.
+    Sequences are padded to a multiple of 512 for the kernel's block sizes.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, s, h, d = q.shape
+    s_pad = -(-s // 512) * 512
+    pad = [(0, 0), (0, s_pad - s), (0, 0), (0, 0)]
+    qt = jnp.pad(q, pad).transpose(0, 2, 1, 3)
+    kt = jnp.pad(k, pad).transpose(0, 2, 1, 3)
+    vt = jnp.pad(v, pad).transpose(0, 2, 1, 3)
+    seg = jnp.pad((mask > 0).astype(jnp.int32), [(0, 0), (0, s_pad - s)])
+    out = flash_attention(
+        qt, kt, vt, segment_ids=SegmentIds(q=seg, kv=seg), causal=causal,
+        sm_scale=1.0,  # q is pre-scaled by the caller
+    )
+    return out.transpose(0, 2, 1, 3)[:, :s]
+
+
 def multi_head_attention(
     params,
     x: jnp.ndarray,                      # (B, S, D) queries source
@@ -54,6 +88,7 @@ def multi_head_attention(
     kv_cache: Optional[dict] = None,     # {'k','v': (B, T, H, Dh)}, decode
     cache_index: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
+    flash_mask: Optional[jnp.ndarray] = None,  # (B, S): use flash kernel
 ):
     """Returns (out (B,S,D), new_kv_cache or None).
 
@@ -79,12 +114,25 @@ def multi_head_attention(
     new_cache = None
     if kv_cache is not None:
         # Functional cache update: one-position dynamic slice write.
+        # cache_index is a scalar (lockstep decode) or (B,) per-sample
+        # positions (continuous batching).
         idx = cache_index
-        k = jax.lax.dynamic_update_slice(kv_cache["k"].astype(k.dtype), k, (0, idx, 0, 0))
-        v = jax.lax.dynamic_update_slice(kv_cache["v"].astype(v.dtype), v, (0, idx, 0, 0))
+        ck = kv_cache["k"].astype(k.dtype)
+        cv = kv_cache["v"].astype(v.dtype)
+        if jnp.ndim(idx) == 0:
+            k = jax.lax.dynamic_update_slice(ck, k, (0, idx, 0, 0))
+            v = jax.lax.dynamic_update_slice(cv, v, (0, idx, 0, 0))
+        else:
+            upd = jax.vmap(lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (i, 0, 0)))
+            k = upd(ck, k, idx)
+            v = upd(cv, v, idx)
         new_cache = {"k": k, "v": v}
 
     q = q * (1.0 / jnp.sqrt(head_dim).astype(q.dtype))
+    if flash_mask is not None and kv_cache is None and memory is None:
+        out = flash_self_attention(q, k, v, flash_mask)
+        return dense(params["o"], out.reshape(b, s, d), dtype), None
+
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
