@@ -111,3 +111,54 @@ def test_train_loss_decreases():
         state, metrics = step(state, batch, jax.random.PRNGKey(42))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_gallery_sharded_scoring_matches_unsharded():
+    """Retrieval's full-gallery sim matmul (exp(logit_scale)·A@T.T) sharded
+    over the dp axis must equal the single-device result — the BASELINE
+    north-star 'gallery-sharded contrastive scoring'."""
+    from jax.sharding import NamedSharding
+    from cacophony_tpu.models.caco import contrastive_logits
+
+    mesh = make_mesh(dp=8, tp=1)
+    rng = np.random.RandomState(0)
+    a = rng.randn(64, 32).astype(np.float32)
+    t = rng.randn(96, 32).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    t /= np.linalg.norm(t, axis=-1, keepdims=True)
+    params = {"logit_scale": jnp.asarray(2.0)}
+
+    expected = np.asarray(contrastive_logits(params, jnp.asarray(a), jnp.asarray(t)))
+
+    a_sh = jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("dp")))
+    t_sh = jax.device_put(jnp.asarray(t), NamedSharding(mesh, P()))
+    with mesh:
+        got = jax.jit(contrastive_logits)(params, a_sh, t_sh)
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
+
+
+def test_sharded_inference_matches_single_device():
+    """dp-sharded batched audio embedding == single-device embedding."""
+    from jax.sharding import NamedSharding
+    from cacophony_tpu.models.caco import get_audio_embedding
+
+    cfg = configs.caco_tiny()
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    batch = _tiny_batch(b=8)
+
+    def fwd(p, b):
+        emb, _ = get_audio_embedding(p, cfg, b["audio_patches"],
+                                     b["audio_time_inds"], b["audio_freq_inds"],
+                                     b["audio_mask"])
+        return emb
+
+    expected = np.asarray(jax.jit(fwd)(params, batch))
+
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        p_sh = shard_params(params, mesh)
+        b_sh = shard_batch({k: batch[k] for k in
+                            ["audio_patches", "audio_time_inds",
+                             "audio_freq_inds", "audio_mask"]}, mesh)
+        got = np.asarray(jax.jit(fwd)(p_sh, b_sh))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
