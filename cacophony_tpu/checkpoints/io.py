@@ -138,4 +138,19 @@ def load_train_state(path: str, like, step: Optional[int] = None):
         if step is None:
             raise FileNotFoundError(f"no train-state checkpoints under {path}")
     restored = load_params(os.path.join(path, f"step_{step:08d}"), tuple(like))
+
+    # Restore placement: mesh-sharded leaves go back onto their
+    # NamedSharding; everything else becomes an UNCOMMITTED array (orbax
+    # restores committed single-device arrays, which jit refuses to mix
+    # with mesh-placed arguments).
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    def replace(x, l):
+        sh = getattr(l, "sharding", None)
+        if isinstance(sh, NamedSharding):
+            return jax.device_put(x, sh)
+        return jnp.asarray(jax.device_get(x))
+
+    restored = jax.tree_util.tree_map(replace, restored, tuple(like))
     return type(like)(*restored)

@@ -68,6 +68,7 @@ class ByteLevelBPETokenizer:
         self.pad_token_id = self.vocab[pad_token]
         self.unk_token_id = self.vocab.get(unk_token, 3)
         self.special_ids = {self.bos_token_id, self.eos_token_id, self.pad_token_id}
+        self.vocab_size = len(self.vocab)
         self._bpe_cache: Dict[str, List[str]] = {}
 
     @classmethod

@@ -50,9 +50,10 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    warmup = min(tc.warmup_steps, max(0, tc.total_steps - 1))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=tc.learning_rate,
-        warmup_steps=tc.warmup_steps, decay_steps=tc.total_steps,
+        warmup_steps=warmup, decay_steps=tc.total_steps,
     )
     return optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
