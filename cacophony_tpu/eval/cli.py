@@ -35,21 +35,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_text_len", type=int, default=100)
     p.add_argument("--output_dir", default=None)
+    p.add_argument("--no_strict_counts", action="store_true",
+                   help="skip published param-count checks (custom models)")
+    p.add_argument("--tiny_model", action="store_true",
+                   help="load the checkpoint with the tiny test config")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    import jax.numpy as jnp
+
+    from cacophony_tpu.configs import caco_tiny
+
     tokenizer = load_tokenizer(args.tokenizer)
-    cfg, params = load_caco(args.ckpt_path)
+    cfg, params = load_caco(
+        args.ckpt_path,
+        cfg=caco_tiny(vocab_size=tokenizer.vocab_size) if args.tiny_model else None,
+        strict_counts=not (args.no_strict_counts or args.tiny_model),
+    )
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     if args.task == "zs":
         datasets = [args.dataset] if args.dataset else \
             ["esc50", "tutas2017", "us8k", "vggsound"]
         engine = CacoEngine(cfg, params, tokenizer=tokenizer,
                             buffer_seconds=10.0, batch_size=args.batch_size,
-                            max_text_len=args.max_text_len)
+                            max_text_len=args.max_text_len, dtype=dtype)
         results = {}
         for name in datasets:
             proc = PROCESSORS[name]()
@@ -61,7 +75,8 @@ def main(argv=None):
         return results
 
     engine = CacoEngine(cfg, params, tokenizer=tokenizer, buffer_seconds=30.0,
-                        batch_size=args.batch_size, max_text_len=args.max_text_len)
+                        batch_size=args.batch_size, max_text_len=args.max_text_len,
+                        dtype=dtype)
     name = args.dataset or "clotho"
     proc = PROCESSORS[name]()
     split = args.split or ("evaluation" if name == "clotho" else "test")
