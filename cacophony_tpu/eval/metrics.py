@@ -8,7 +8,7 @@ uses astropy — not in this environment, and it's ~15 lines of numpy).
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Sequence
+from typing import Dict, Mapping, Sequence
 
 import numpy as np
 

@@ -24,7 +24,6 @@ wrong; src/eval/eval_caco_torch.py:51-62):
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from cacophony_tpu.configs import CacoConfig
-from cacophony_tpu.models import text as text_lib
 from cacophony_tpu.models.audio import audio_encoder_apply, audio_encoder_init
 from cacophony_tpu.models.layers import dense, dense_init, embed_init
 from cacophony_tpu.models.text import (

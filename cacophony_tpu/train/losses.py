@@ -12,7 +12,7 @@ without user collective code.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

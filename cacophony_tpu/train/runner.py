@@ -20,7 +20,6 @@ import os
 from typing import Dict, List
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from cacophony_tpu import configs
