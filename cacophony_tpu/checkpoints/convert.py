@@ -386,3 +386,31 @@ def convert_hf_roberta(hf_params: dict) -> dict:
         },
         "blocks": _text_blocks(stacked),
     }
+
+
+def audio_decoder_to_reference(params: dict, num_heads: int) -> dict:
+    out = {
+        "Dense_0": {"kernel": np.asarray(params["in_proj"]["w"]),
+                    "bias": np.asarray(params["in_proj"]["b"])},
+        "freq_positional_embedding": np.asarray(params["freq_pos_embed"]),
+        "restore_patch": np.asarray(params["mask_token"]),
+        "LayerNorm_0": {"scale": np.asarray(params["ln_f"]["scale"]),
+                        "bias": np.asarray(params["ln_f"]["bias"])},
+        "Dense_1": {"kernel": np.asarray(params["out_proj"]["w"]),
+                    "bias": np.asarray(params["out_proj"]["b"])},
+    }
+    for i, block in enumerate(_unstack(params["blocks"])):
+        out[f"AudioEncoderLayer_{i}"] = _audio_block_to_reference(block, num_heads)
+    return out
+
+
+def audiomae_params_to_reference(params: dict, enc_num_heads: int,
+                                 dec_num_heads: int) -> dict:
+    """Our AudioMAE tree → released stage-1 layout
+    (`AudioEncoder_0`/`AudioDecoder_0`, load_model.py:69)."""
+    out = {"AudioEncoder_0": audio_encoder_to_reference(params["encoder"],
+                                                        enc_num_heads)}
+    if "decoder" in params:
+        out["AudioDecoder_0"] = audio_decoder_to_reference(params["decoder"],
+                                                           dec_num_heads)
+    return out

@@ -66,3 +66,29 @@ def test_orbax_save_load_roundtrip(tmp_path):
     save_params(params, path)
     loaded = load_params(path, like=params)
     _trees_equal(params, loaded)
+
+
+def test_audiomae_reference_layout_roundtrip(tmp_path):
+    from flax.training import checkpoints as flax_checkpoints
+
+    from cacophony_tpu.checkpoints.convert import (
+        audiomae_params_to_reference,
+        convert_audiomae_params,
+    )
+    from cacophony_tpu.checkpoints.io import load_audiomae
+    from cacophony_tpu.models.audio import audiomae_init
+
+    enc = configs.AudioEncoderConfig(hidden_size=32, num_layers=2, num_heads=2,
+                                     intermediate_size=64)
+    dec = configs.AudioDecoderConfig(hidden_size=32, num_layers=2, num_heads=2,
+                                     intermediate_size=64)
+    params = audiomae_init(jax.random.PRNGKey(3), enc, dec)
+    ref = audiomae_params_to_reference(params, enc.num_heads, dec.num_heads)
+    back = convert_audiomae_params(ref)
+    _trees_equal(params, back)
+
+    ckpt_dir = str(tmp_path / "mae_ckpt")
+    flax_checkpoints.save_checkpoint(ckpt_dir, {"0": {"params": ref}}, step=0,
+                                     overwrite=True)
+    _, loaded = load_audiomae(ckpt_dir, strict_counts=False)
+    _trees_equal(params, loaded)
