@@ -97,19 +97,6 @@ class CacoEngine:
         return fn
 
     @functools.cached_property
-    def _audio_from_patches_fn(self):
-        cfg = self.cfg
-
-        @jax.jit
-        def fn(params, batch):
-            return get_audio_embedding(
-                params, cfg, batch["audio_patches"], batch["audio_time_inds"],
-                batch["audio_freq_inds"], batch["audio_mask"],
-            )
-
-        return fn
-
-    @functools.cached_property
     def _text_fn(self):
         cfg = self.cfg
 

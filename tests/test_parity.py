@@ -330,3 +330,47 @@ def test_audiomae_parity(audio_inputs):
         p, _my_audio_cfg(), my_dec_cfg, patches, mask, ti, fi, rti, rfi,
         rmask))(mine)
     _close(out, ref_out)
+
+
+def test_audio_encoder_parity_real_dims(audio_inputs):
+    """Real model dims (hidden 768, 8 heads → head_dim 96) at reduced depth:
+    catches head-splitting/merging bugs the 32-dim configs can't."""
+    patches, ti, fi, mask = audio_inputs
+    ref_cfg = MAE.AudioTransformerConfig(
+        hidden_size=768, num_layers=2, num_heads=8, intermediate_size=3072,
+        patch_size=256, max_time_ind=1000, num_freq_patches=8,
+        dropout_rate=0.0, drop_path_rate=0.0, dtype=jnp.float32)
+    my_cfg = configs.AudioEncoderConfig(
+        hidden_size=768, num_layers=2, num_heads=8, intermediate_size=3072,
+        patch_size=256, num_freq_patches=8)
+
+    ref_model = MAE.AudioEncoder(ref_cfg)
+    ref_params = jax.jit(lambda: ref_model.init(
+        {"params": jax.random.PRNGKey(5)}, patches, ti, fi, mask,
+        deterministic=True)["params"])()
+    ref_out = jax.jit(lambda p: ref_model.apply(
+        {"params": p}, patches, ti, fi, mask, deterministic=True))(ref_params)
+    out = jax.jit(lambda p: audio_encoder_apply(
+        p, my_cfg, patches, ti, fi, mask))(convert_audio_encoder(ref_params))
+    _close(out, ref_out, atol=2e-4)
+
+
+def test_text_encoder_parity_real_dims(text_inputs):
+    """Real text dims (768, 12 heads → head_dim 64) at depth 2."""
+    ids, mask = text_inputs
+    ref_cfg = ROB.RobertaConfig(
+        vocab_size=VOCAB, hidden_size=768, num_hidden_layers=2,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=64)
+    my_cfg = configs.TextConfig(
+        vocab_size=VOCAB, hidden_size=768, num_layers=2, num_heads=12,
+        intermediate_size=3072, max_position_embeddings=64)
+    ref_model = ROB.RobertaModel(ref_cfg)
+    ref_params = jax.jit(lambda: ref_model.init(
+        {"params": jax.random.PRNGKey(6)}, ids, mask, is_train=False)["params"])()
+    ref_pooled, ref_hidden = jax.jit(lambda p: ref_model.apply(
+        {"params": p}, ids, mask, is_train=False))(ref_params)
+    pooled, hidden, _ = jax.jit(lambda p: text_encoder_apply(
+        p, my_cfg, ids, mask))(convert_text_encoder(ref_params))
+    _close(hidden, ref_hidden, atol=2e-4)
+    _close(pooled, ref_pooled, atol=2e-4)
