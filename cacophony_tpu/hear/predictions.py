@@ -242,52 +242,13 @@ def _reference_events(embed_dir: str, split: str) -> List[Dict]:
 
 # --------------------------------------------------------------- orchestrate
 
-def task_predictions(
-    embed_dir: str,
-    grid: Optional[Dict] = None,
-    grid_points: int = 8,
-    seed: int = 42,
-    gpus: None = None,  # accepted for CLI parity; training is host-side
-) -> Dict:
-    """Full prediction phase for one task directory: random grid search on
-    (train, valid), best config evaluated on test; writes
-    test.predicted-scores.json (reference task_predictions.py:1273-1447)."""
-    rng = random.Random(seed)
-    with open(os.path.join(embed_dir, "task_metadata.json")) as f:
-        metadata = json.load(f)
-    with open(os.path.join(embed_dir, "labelvocabulary.csv")) as f:
-        rows = list(csv.DictReader(f))
-    label_to_idx = {r["label"]: int(r["idx"]) for r in rows}
-    idx_to_label = {v: k for k, v in label_to_idx.items()}
-    nlabels = len(label_to_idx)
+def _concat_splits(parts):
+    xs, ys = zip(*parts)
+    return np.concatenate(xs), np.concatenate(ys)
 
-    splits = metadata["splits"]
-    if set(splits) >= {"train", "valid", "test"}:
-        train_s, valid_s, test_s = "train", "valid", "test"
-    else:  # k-fold tasks: rotate folds (reference data_splits_from_folds)
-        folds = sorted(splits)
-        train_s, valid_s, test_s = folds[0], folds[1 % len(folds)], folds[-1]
 
-    data = {s: _load_split(embed_dir, s, label_to_idx, nlabels)
-            for s in {train_s, valid_s, test_s}}
-
-    grid = grid or PARAM_GRID
-    keys = sorted(grid)
-    all_confs = [dict(zip(keys, vals))
-                 for vals in itertools.product(*(grid[k] for k in keys))]
-    rng.shuffle(all_confs)
-    confs = all_confs[:grid_points]
-
-    best = {"score": -np.inf, "conf": None, "model": None}
-    for conf in confs:
-        model, val = train_probe(*data[train_s], *data[valid_s], metadata, conf,
-                                 seed=seed)
-        logger.info("conf %s → valid %.4f", conf, val)
-        if val > best["score"]:
-            best = {"score": val, "conf": conf, "model": model}
-
-    model = best["model"]
-    x_test, y_test = data[test_s]
+def _score_model(model, embed_dir, metadata, test_s, data_test, idx_to_label):
+    x_test, y_test = data_test
     with torch.no_grad():
         probs = model.probabilities(torch.from_numpy(
             np.array(x_test, np.float32, copy=True))).numpy()
@@ -297,31 +258,114 @@ def task_predictions(
         for name in metadata["evaluation"]:
             if name in score_lib.SCENE_SCORES:
                 scores[name] = score_lib.SCENE_SCORES[name](probs, y_test)
+        return scores
+
+    with open(os.path.join(embed_dir,
+                           f"{test_s}.filename-timestamps.json")) as f:
+        fname_ts = json.load(f)
+    ref_events = _reference_events(embed_dir, test_s)
+    post_keys = sorted(EVENT_POSTPROCESSING_GRID)
+    # postprocess grid: keep the best setting per metric (reference selects
+    # postprocessing on validation; grid is tiny so max-over-grid is the
+    # same selection applied directly)
+    for vals in itertools.product(
+            *(EVENT_POSTPROCESSING_GRID[k] for k in post_keys)):
+        post = dict(zip(post_keys, vals))
+        pred_events = get_events_for_all_files(probs, fname_ts,
+                                               idx_to_label, post)
+        for name in metadata["evaluation"]:
+            if name in score_lib.EVENT_SCORES:
+                s = score_lib.EVENT_SCORES[name](ref_events, pred_events)
+                scores[name] = max(scores.get(name, -np.inf), s)
+    return scores
+
+
+def task_predictions(
+    embed_dir: str,
+    grid: Optional[Dict] = None,
+    grid_points: int = 8,
+    seed: int = 42,
+    gpus: None = None,  # accepted for CLI parity; training is host-side
+) -> Dict:
+    """Full prediction phase for one task directory
+    (reference task_predictions.py:1273-1447):
+
+    - train/valid/test tasks: random grid search on (train, valid), best
+      config scored on test
+    - k-fold tasks (splits = fold00..): grid search on the first fold
+      assignment, then the best config re-trained on every fold rotation
+      (test=fold i, valid=fold i+1, train=rest) and scores aggregated
+      mean/std (reference data_splits_from_folds, :1122-1157)
+    Writes test.predicted-scores.json + prediction-done.json.
+    """
+    rng = random.Random(seed)
+    with open(os.path.join(embed_dir, "task_metadata.json")) as f:
+        metadata = json.load(f)
+    with open(os.path.join(embed_dir, "labelvocabulary.csv")) as f:
+        rows = list(csv.DictReader(f))
+    label_to_idx = {r["label"]: int(r["idx"]) for r in rows}
+    idx_to_label = {v: k for k, v in label_to_idx.items()}
+    nlabels = len(label_to_idx)
+
+    grid = grid or PARAM_GRID
+    keys = sorted(grid)
+    all_confs = [dict(zip(keys, vals))
+                 for vals in itertools.product(*(grid[k] for k in keys))]
+    rng.shuffle(all_confs)
+    confs = all_confs[:grid_points]
+
+    splits = metadata["splits"]
+    kfold = not (set(splits) >= {"train", "valid", "test"})
+    data = {s: _load_split(embed_dir, s, label_to_idx, nlabels) for s in splits}
+
+    if kfold:
+        folds = sorted(splits)
+        k = len(folds)
+        assignments = [
+            (folds[i], folds[(i + 1) % k],
+             [folds[j] for j in range(k) if j != i and j != (i + 1) % k])
+            for i in range(k)
+        ]
     else:
-        with open(os.path.join(embed_dir,
-                               f"{test_s}.filename-timestamps.json")) as f:
-            fname_ts = json.load(f)
-        ref_events = _reference_events(embed_dir, test_s)
-        post_keys = sorted(EVENT_POSTPROCESSING_GRID)
-        best_ev = -np.inf
-        for vals in itertools.product(
-                *(EVENT_POSTPROCESSING_GRID[k] for k in post_keys)):
-            post = dict(zip(post_keys, vals))
-            pred_events = get_events_for_all_files(probs, fname_ts,
-                                                   idx_to_label, post)
-            for name in metadata["evaluation"]:
-                if name in score_lib.EVENT_SCORES:
-                    s = score_lib.EVENT_SCORES[name](ref_events, pred_events)
-                    if name == metadata["evaluation"][0]:
-                        best_ev = max(best_ev, s)
-                    scores.setdefault(name, s)
-                    scores[name] = max(scores[name], s)
+        assignments = [("test", "valid", ["train"])]
+
+    # grid search on the first assignment
+    test0, valid0, train0 = assignments[0]
+    x_tr, y_tr = _concat_splits([data[s] for s in train0])
+    best = {"score": -np.inf, "conf": None, "model": None}
+    for conf in confs:
+        model, val = train_probe(x_tr, y_tr, *data[valid0], metadata, conf,
+                                 seed=seed)
+        logger.info("conf %s → valid %.4f", conf, val)
+        if val > best["score"]:
+            best = {"score": val, "conf": conf, "model": model}
+
+    # evaluate (re-training the best config per fold rotation)
+    per_fold: List[Dict[str, float]] = []
+    for i, (test_s, valid_s, train_ss) in enumerate(assignments):
+        if i == 0:
+            model = best["model"]
+        else:
+            x_tr, y_tr = _concat_splits([data[s] for s in train_ss])
+            model, _ = train_probe(x_tr, y_tr, *data[valid_s], metadata,
+                                   best["conf"], seed=seed)
+        per_fold.append(_score_model(model, embed_dir, metadata, test_s,
+                                     data[test_s], idx_to_label))
+
+    names = sorted({n for f in per_fold for n in f})
+    scores = {n: float(np.mean([f[n] for f in per_fold if n in f])) for n in names}
+    aggregated = {}
+    for n in names:
+        vals = [f[n] for f in per_fold if n in f]
+        aggregated[f"test_{n}_mean"] = float(np.mean(vals))
+        aggregated[f"test_{n}_std"] = float(np.std(vals))
 
     result = {
         "best_conf": best["conf"],
         "valid_score": best["score"],
+        "num_folds": len(assignments),
         "test": scores,
-        "aggregated_scores": {f"test_{k}_mean": v for k, v in scores.items()},
+        "aggregated_scores": aggregated,
     }
     with open(os.path.join(embed_dir, "test.predicted-scores.json"), "w") as f:
         json.dump(result, f, indent=2)

@@ -155,3 +155,55 @@ def test_hear_event_embeddings_shapes(tmp_path):
         [[{"start": 0, "end": 900, "label": "x"}], []], ts)
     assert "x" in labels[0][0]
     assert labels[1][0] == []
+
+
+@pytest.fixture()
+def hear_fold_task_dir(tmp_path):
+    """Minimal k-fold HEAR scene task (3 folds, like beijing_opera/gunshot)."""
+    task = tmp_path / "tasks" / "foldtask-v1.0.0-full"
+    (task / "16000").mkdir(parents=True)
+    metadata = {
+        "task_name": "foldtask",
+        "embedding_type": "scene",
+        "prediction_type": "multiclass",
+        "splits": ["fold00", "fold01", "fold02"],
+        "evaluation": ["top1_acc"],
+        "sample_duration": 1.0,
+    }
+    (task / "task_metadata.json").write_text(json.dumps(metadata))
+    with open(task / "labelvocabulary.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["idx", "label"])
+        w.writerow(["0", "dog"])
+        w.writerow(["1", "rain"])
+    seed = 50
+    for fold in metadata["splits"]:
+        d = task / "16000" / fold
+        d.mkdir(parents=True)
+        split_json = {}
+        for i in range(4):
+            name = f"{fold}_{i}.wav"
+            _write_wav(d / name, 1.0, 16_000, seed)
+            split_json[name] = ["dog" if i % 2 == 0 else "rain"]
+            seed += 1
+        (task / f"{fold}.json").write_text(json.dumps(split_json))
+    return task
+
+
+def test_hear_kfold_pipeline(hear_fold_task_dir, tmp_path):
+    from cacophony_tpu.hear.embeddings import CacoHearEmbedder
+    from cacophony_tpu.hear.runner import task_embeddings
+
+    cfg = configs.caco_tiny()
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    embedder = CacoHearEmbedder(cfg, params, sample_rate=16_000,
+                                audio_max_len_s=1.0, batch_size=4)
+    embed_task_dir = tmp_path / "embeddings" / "caco" / hear_fold_task_dir.name
+    task_embeddings(embedder, hear_fold_task_dir, embed_task_dir)
+
+    result = task_predictions(str(embed_task_dir), grid=FASTER_PARAM_GRID,
+                              grid_points=1)
+    assert result["num_folds"] == 3
+    assert "test_top1_acc_mean" in result["aggregated_scores"]
+    assert "test_top1_acc_std" in result["aggregated_scores"]
+    assert 0.0 <= result["test"]["top1_acc"] <= 1.0
