@@ -14,3 +14,24 @@ captioning decoder + evaluation/HEAR harness), built TPU-first:
 __version__ = "0.1.0"
 
 from cacophony_tpu import configs  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import cacophony_tpu` light)."""
+    if name == "CacoEngine":
+        from cacophony_tpu.runtime import CacoEngine
+
+        return CacoEngine
+    if name == "load_caco":
+        from cacophony_tpu.checkpoints import load_caco
+
+        return load_caco
+    if name == "load_audiomae":
+        from cacophony_tpu.checkpoints import load_audiomae
+
+        return load_audiomae
+    if name == "load_tokenizer":
+        from cacophony_tpu.data import load_tokenizer
+
+        return load_tokenizer
+    raise AttributeError(name)
