@@ -145,3 +145,54 @@ def test_audiocaps_processor_format(tmp_path):
     files, text, _ = proc.get_filepaths_and_descriptions("test")
     assert len(files) == 1
     assert text["ytid0"]["description"] == ["a dog barks", "a loud dog"]
+
+
+def test_us8k_processor_format(tmp_path):
+    d = tmp_path / "us8k"
+    (d / "audio" / "fold1").mkdir(parents=True)
+    (d / "metadata").mkdir()
+    _write_wav(str(d / "audio" / "fold1" / "100032-3-0-0.wav"), 0.5, 44_100, 1)
+    with open(d / "metadata" / "UrbanSound8K.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["slice_file_name", "fsID", "start", "end", "salience",
+                    "fold", "classID", "class"])
+        w.writerow(["100032-3-0-0.wav", "100032", "0", "0.3", "1", "1", "3",
+                    "dog_bark"])
+    from cacophony_tpu.eval.processors import US8KProcessor
+
+    files, text, _ = US8KProcessor(data_dir=str(d)).get_filepaths_and_descriptions()
+    assert len(files) == 1
+    # underscores become spaces (reference dataset_processors.py:38)
+    assert text["100032-3-0-0"]["description"] == ["dog bark"]
+
+
+def test_vggsound_processor_format(tmp_path):
+    d = tmp_path / "vgg"
+    (d / "test").mkdir(parents=True)
+    _write_wav(str(d / "test" / "clipA.wav"), 0.5, 48_000, 2)
+    _write_wav(str(d / "test" / "unlabeled.wav"), 0.5, 48_000, 3)
+    with open(d / "vggsound_full.json", "w") as f:
+        json.dump({"clipA": "playing drums"}, f)
+    from cacophony_tpu.eval.processors import VGGSoundProcessor
+
+    files, text, _ = VGGSoundProcessor(data_dir=str(d)).get_filepaths_and_descriptions()
+    assert [os.path.basename(p) for p in files] == ["clipA.wav"]  # unlabeled skipped
+    assert text["clipA"]["description"] == ["playing drums"]
+
+
+def test_tutas2017_processor_format(tmp_path):
+    d = tmp_path / "tut"
+    (d / "train").mkdir(parents=True)
+    (d / "eval").mkdir()
+    _write_wav(str(d / "train" / "a1.wav"), 0.5, 44_100, 4)
+    _write_wav(str(d / "eval" / "b1.wav"), 0.5, 44_100, 5)
+    with open(d / "meta_train.json", "w") as f:
+        json.dump({"a1.wav": "beach"}, f)
+    with open(d / "meta_eval.json", "w") as f:
+        json.dump({"b1.wav": "bus"}, f)
+    from cacophony_tpu.eval.processors import TUTAS2017Processor
+
+    files, text, _ = TUTAS2017Processor(data_dir=str(d)).get_filepaths_and_descriptions()
+    assert len(files) == 2
+    assert text["a1"]["description"] == ["beach"]
+    assert text["b1"]["description"] == ["bus"]
