@@ -115,7 +115,10 @@ class CacoEngine:
 
         return fn
 
+    @functools.lru_cache(maxsize=8)
     def _decode_fn(self, max_length: int, temperature: float):
+        """Compiled once per (max_length, temperature) — cached so repeated
+        caption() calls don't re-trace."""
         cfg = self.cfg
 
         @jax.jit
