@@ -64,7 +64,12 @@ def dense(p, x, dtype=None):
 
 
 def layer_norm(p, x, eps: float):
-    """LayerNorm in fp32 (statistics are precision-sensitive)."""
+    """LayerNorm in fp32 (statistics are precision-sensitive).
+
+    Measured on v5e (same-session interleaved A/B): a bf16-throughout LN is
+    NOT faster than this — XLA fuses the dtype conversions — so the strict
+    fp32-statistics form is kept for both fp32 and bf16 compute.
+    """
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)

@@ -133,6 +133,10 @@ def multi_head_attention(
         out = flash_self_attention(q, k, v, flash_mask)
         return dense(params["o"], out.reshape(b, s, d), dtype), None
 
+    # NOTE: measured on v5e (same-session interleaved A/B, B=128 seq 500
+    # bf16): this einsum+fp32-softmax formulation ≈ 795 clips/s vs
+    # jax.nn.dot_product_attention ≈ 755 — XLA already fuses this chain;
+    # the "fused" primitive is slightly slower here and numerically looser.
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)

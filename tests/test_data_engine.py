@@ -102,3 +102,32 @@ def test_engine_caption(engine, rng):
     caps = engine.caption(wavs, max_length=8, temperature=1.0, seed=0)
     assert len(caps) == 2
     assert all(isinstance(c, str) for c in caps)
+
+
+def test_engine_with_mesh_matches_single_device(rng):
+    from cacophony_tpu.parallel import make_mesh
+
+    cfg = configs.caco_tiny(vocab_size=300)
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    wavs = [rng.randn(8000).astype(np.float32) for _ in range(8)]
+    plain = CacoEngine(cfg, params, tokenizer=_byte_tokenizer(),
+                       buffer_seconds=1.0, batch_size=8)
+    expected = plain.embed_audio(wavs)
+
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        sharded = CacoEngine(cfg, params, tokenizer=_byte_tokenizer(),
+                             buffer_seconds=1.0, batch_size=8, mesh=mesh)
+        got = sharded.embed_audio(wavs)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_eval_cli_parser_defaults():
+    from cacophony_tpu.eval.cli import build_parser
+
+    args = build_parser().parse_args(["--ckpt_path", "x"])
+    assert args.task == "zs" and args.batch_size == 32
+    assert args.dtype == "float32" and not args.no_strict_counts
+    args = build_parser().parse_args(
+        ["--ckpt_path", "x", "--task", "caption", "--dtype", "bfloat16"])
+    assert args.task == "caption" and args.dtype == "bfloat16"
