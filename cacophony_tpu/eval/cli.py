@@ -74,10 +74,16 @@ def main(argv=None):
                                               text_prefix=prefix)
         return results
 
-    engine = CacoEngine(cfg, params, tokenizer=tokenizer, buffer_seconds=30.0,
-                        batch_size=args.batch_size, max_text_len=args.max_text_len,
-                        dtype=dtype)
     name = args.dataset or "clotho"
+    # Clotho uses a 30 s / text-100 budget, AudioCaps 10 s / text-77
+    # (reference eval_caco.py:349-357 and its AudioCaps config :362-370).
+    buffer_seconds = 10.0 if name == "audiocaps" else 30.0
+    max_text_len = (77 if name == "audiocaps" else 100) \
+        if args.max_text_len == 100 else args.max_text_len
+    engine = CacoEngine(cfg, params, tokenizer=tokenizer,
+                        buffer_seconds=buffer_seconds,
+                        batch_size=args.batch_size, max_text_len=max_text_len,
+                        dtype=dtype)
     proc = PROCESSORS[name]()
     split = args.split or ("evaluation" if name == "clotho" else "test")
     if args.task == "ar":

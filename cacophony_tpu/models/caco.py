@@ -155,10 +155,32 @@ class DecodeState(NamedTuple):
     is_generating: jnp.ndarray  # (B,) int32
 
 
+def sample_logits(
+    rng: jax.Array, logits: jnp.ndarray, *, temperature: float = 1.0,
+    top_k: Optional[int] = None, top_p: Optional[float] = None,
+) -> jnp.ndarray:
+    """Temperature / top-k / nucleus sampling (serving extension; the
+    reference supports temperature only, caco.py:198)."""
+    logits = logits / temperature
+    if top_k is not None and top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set with cumulative prob ≥ top_p (always keep the best)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
 def decode_step(
     params, cfg: CacoConfig, state: DecodeState,
     cross_kv, audio_mask, *, temperature: float,
     eos_id: int, pad_id: int, rng: jax.Array,
+    top_k: Optional[int] = None, top_p: Optional[float] = None,
 ) -> DecodeState:
     """One AR step, pure function (reference loop body caco.py:178-202)."""
     b = state.input_ids.shape[0]
@@ -178,8 +200,8 @@ def decode_step(
     logits = logits[:, 0, :]
 
     step_rng = jax.random.fold_in(rng, state.index)
-    sampled = jax.random.categorical(step_rng, logits / temperature, axis=-1)
-    sampled = sampled.astype(jnp.int32)
+    sampled = sample_logits(step_rng, logits, temperature=temperature,
+                            top_k=top_k, top_p=top_p)
     new_ids = state.input_ids.at[:, state.index + 1].set(sampled * g)
     new_g = g * (sampled != eos_id).astype(jnp.int32)
     return DecodeState(new_text_cache, new_dec_cache, new_ids,
@@ -191,6 +213,7 @@ def decode(
     max_length: int, temperature: float,
     bos_id: int, eos_id: int, pad_id: int, rng: jax.Array,
     dp_axis: Optional[str] = None,
+    top_k: Optional[int] = None, top_p: Optional[float] = None,
 ) -> jnp.ndarray:
     """Batched temperature sampling with KV caches (reference caco.py:154-230).
 
@@ -225,7 +248,7 @@ def decode(
     def body(s: DecodeState):
         return decode_step(params, cfg, s, cross_kv, audio_mask,
                            temperature=temperature, eos_id=eos_id,
-                           pad_id=pad_id, rng=rng)
+                           pad_id=pad_id, rng=rng, top_k=top_k, top_p=top_p)
 
     end = jax.lax.while_loop(cond, body, state)
     return end.input_ids

@@ -1,5 +1,6 @@
 """Continuous-batching captioner vs lockstep batch decode (greedy parity)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -55,3 +56,20 @@ def test_continuous_single_slot_many_requests():
                                  temperature=1e-4)
     caps = server.run(requests)
     assert len(caps) == 3 and all(isinstance(c, str) for c in caps)
+
+
+def test_sampling_top_k_top_p():
+    from cacophony_tpu.models.caco import sample_logits
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]] * 4))
+    # top_k=1 → always argmax
+    s = sample_logits(jax.random.PRNGKey(0), logits, top_k=1)
+    assert (np.asarray(s) == 0).all()
+    # top_p=0.6 keeps {0.5, 0.3}; over many draws only ids 0/1 appear
+    draws = [int(sample_logits(jax.random.PRNGKey(i), logits[:1], top_p=0.6)[0])
+             for i in range(50)]
+    assert set(draws) <= {0, 1} and len(set(draws)) == 2
+    # top_p=0.4 keeps only the best
+    draws = [int(sample_logits(jax.random.PRNGKey(i), logits[:1], top_p=0.4)[0])
+             for i in range(20)]
+    assert set(draws) == {0}
