@@ -94,24 +94,38 @@ def _windowed_dft_matrices(window_length: int, fft_size: int) -> tuple[np.ndarra
     return cr, ci
 
 
-def _frame_signal(audio: jnp.ndarray, num_frames: int, cfg: FrontendConfig) -> jnp.ndarray:
-    """Gather (num_frames, window_length) frames at stride hop, zero-padded past the end."""
-    pad = cfg.window_length  # last frame may read hop*(F-1)+window past the buffer
-    padded = jnp.pad(audio, (0, pad))
-    starts = jnp.arange(num_frames) * cfg.hop_length
-    idx = starts[:, None] + jnp.arange(cfg.window_length)[None, :]
-    return padded[idx]
-
-
 def stft_magnitude(audio: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """Magnitude STFT with tfio semantics. audio: (num_samples,) → (F, nbins)."""
+    """Magnitude STFT with tfio semantics. audio: (num_samples,) → (F, nbins).
+
+    Formulated WITHOUT materializing overlapped frames: frame f covers
+    samples [f·hop, f·hop+win), which splits into hop-aligned chunks, so
+    with A = padded.reshape(-1, hop) the windowed DFT is a sum of shifted
+    matmuls   Σ_k A[f+k] @ C[k·hop:(k+1)·hop]   — pure reshapes + n_seg
+    (=⌈win/hop⌉, 3 here) matmuls instead of a (F, win) gather that
+    materializes ~win/hop× the audio.  Measured equal end-to-end speed on
+    v5e (the pipeline is encoder-bound); kept for the memory profile.
+
+    DSP matmuls are numerically load-bearing (the log amplifies error) and
+    cost negligible FLOPs vs the encoder — full fp32 on the MXU.
+    """
+    hop, win = cfg.hop_length, cfg.window_length
     num_frames = num_stft_frames(audio.shape[-1], cfg.hop_length)
-    frames = _frame_signal(audio.astype(jnp.float32), num_frames, cfg)
-    cr, ci = _windowed_dft_matrices(cfg.window_length, cfg.fft_size)
-    # DSP matmuls are numerically load-bearing (the log amplifies error) and
-    # cost negligible FLOPs vs the encoder — force full fp32 on the MXU.
-    re = jnp.dot(frames, jnp.asarray(cr), precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(frames, jnp.asarray(ci), precision=jax.lax.Precision.HIGHEST)
+    n_seg = -(-win // hop)
+
+    total = (num_frames + n_seg) * hop
+    x = audio.astype(jnp.float32)
+    x = jnp.pad(x, (0, total - x.shape[-1]))
+    a = x.reshape(num_frames + n_seg, hop)
+
+    cr, ci = _windowed_dft_matrices(win, cfg.fft_size)
+    re = im = 0.0
+    for k in range(n_seg):
+        lo, hi = k * hop, min((k + 1) * hop, win)
+        seg = a[k:num_frames + k, : hi - lo]
+        re = re + jnp.dot(seg, jnp.asarray(cr[lo:hi]),
+                          precision=jax.lax.Precision.HIGHEST)
+        im = im + jnp.dot(seg, jnp.asarray(ci[lo:hi]),
+                          precision=jax.lax.Precision.HIGHEST)
     return jnp.sqrt(re * re + im * im)
 
 
