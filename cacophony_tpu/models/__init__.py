@@ -1,1 +1,2 @@
-from cacophony_tpu.models import audio, caco, text  # noqa: F401
+"""Model core: import submodules directly (kept lazy to avoid import cycles
+with cacophony_tpu.ops, which uses models.layers)."""
