@@ -238,6 +238,11 @@ def decode(
         index=jnp.zeros((), jnp.int32),
         is_generating=jnp.ones((b,), jnp.int32),
     )
+    if dp_axis is not None:
+        # Inside shard_map the loop carry must have consistent
+        # varying-manual-axes types: mark the constant-initialized state as
+        # dp-varying up front.
+        state = jax.tree_util.tree_map(lambda x: jax.lax.pcast(x, dp_axis, to='varying'), state)
 
     def cond(s: DecodeState):
         active = jnp.sum(s.is_generating)

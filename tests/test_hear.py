@@ -207,3 +207,25 @@ def test_hear_kfold_pipeline(hear_fold_task_dir, tmp_path):
     assert "test_top1_acc_mean" in result["aggregated_scores"]
     assert "test_top1_acc_std" in result["aggregated_scores"]
     assert 0.0 <= result["test"]["top1_acc"] <= 1.0
+
+
+def test_hear_audiomae_embedder_route(hear_task_dir, tmp_path):
+    """The audiomae embedding route through the runner (scene = mean over
+    hidden states; reference audiomae_embeddings.py:163)."""
+    from cacophony_tpu.hear.embeddings import AudioMAEHearEmbedder
+    from cacophony_tpu.hear.runner import task_embeddings
+    from cacophony_tpu.models.audio import audiomae_init
+
+    enc = configs.AudioEncoderConfig(hidden_size=32, num_layers=2, num_heads=2,
+                                     intermediate_size=64)
+    dec = configs.AudioDecoderConfig(hidden_size=32, num_layers=2, num_heads=2,
+                                     intermediate_size=64)
+    cfg = configs.AudioMAEConfig(encoder=enc, decoder=dec)
+    params = audiomae_init(jax.random.PRNGKey(0), enc, dec)
+    embedder = AudioMAEHearEmbedder(cfg, params, sample_rate=16_000,
+                                    audio_max_len_s=1.0, batch_size=4)
+    embed_task_dir = tmp_path / "embeddings" / "audiomae" / hear_task_dir.name
+    task_embeddings(embedder, hear_task_dir, embed_task_dir)
+    n, dim = json.loads(
+        (embed_task_dir / "test.embedding-dimensions.json").read_text())
+    assert dim == enc.hidden_size and n == 4

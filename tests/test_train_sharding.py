@@ -162,3 +162,37 @@ def test_sharded_inference_matches_single_device():
                              "audio_freq_inds", "audio_mask"]}, mesh)
         got = np.asarray(jax.jit(fwd)(p_sh, b_sh))
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_decode_under_shard_map_with_psum_termination():
+    """decode(dp_axis='dp') inside shard_map: the reference-style psum
+    cross-device termination (caco.py:166-167) compiles and matches the
+    single-device decode."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding
+    from cacophony_tpu.models.caco import decode
+
+    cfg = configs.caco_tiny(vocab_size=300)
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    b, s = 4, 16
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio_patches": jnp.asarray(rng.randn(b, s, 256), jnp.float32),
+        "audio_time_inds": jnp.tile(jnp.arange(s) // 8, (b, 1)),
+        "audio_freq_inds": jnp.tile(jnp.arange(s) % 8, (b, 1)),
+        "audio_mask": jnp.ones((b, s), jnp.int32),
+    }
+    kw = dict(max_length=8, temperature=1e-4, bos_id=0, eos_id=2, pad_id=1,
+              rng=jax.random.PRNGKey(7))
+
+    expected = np.asarray(decode(params, cfg, batch, **kw))
+
+    mesh = make_mesh(dp=2, tp=1)
+    fn = shard_map(
+        lambda p, bt: decode(p, cfg, bt, dp_axis="dp", **kw),
+        mesh=mesh,
+        in_specs=(P(), P("dp")),
+        out_specs=P("dp"),
+    )
+    got = np.asarray(jax.jit(fn)(params, batch))
+    np.testing.assert_array_equal(got, expected)
