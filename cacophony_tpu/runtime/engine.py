@@ -192,6 +192,31 @@ class CacoEngine:
             out.append(np.asarray(self._text_fn(self.params, chunk["i"], chunk["m"])))
         return np.concatenate(out)[:n]
 
+    def embed_audio_long(self, wavs: Sequence[np.ndarray], *,
+                         overlap_seconds: float = 0.0) -> np.ndarray:
+        """Arbitrary-length clips: chunk into engine-sized windows, embed
+        each chunk, average the normalized embeddings, renormalize.
+
+        The reference instead truncates/subsamples past its patch budget
+        (dataset.py:78-87, 30 s cap at eval_caco.py:349-352) — this keeps
+        all content.  Short clips reduce exactly to embed_audio."""
+        hop = self.buffer_samples - int(round(overlap_seconds * self.front.sample_rate))
+        assert hop > 0
+        chunks, owners = [], []
+        for i, w in enumerate(wavs):
+            n = max(1, -(-max(len(w) - self.buffer_samples, 0) // hop) + 1)
+            for c in range(n):
+                chunks.append(w[c * hop: c * hop + self.buffer_samples])
+                owners.append(i)
+        emb = self.embed_audio(chunks)
+        out = np.zeros((len(wavs), emb.shape[1]), np.float32)
+        counts = np.zeros(len(wavs))
+        for e, o in zip(emb, owners):
+            out[o] += e
+            counts[o] += 1
+        out /= counts[:, None]
+        return out / np.linalg.norm(out, axis=-1, keepdims=True)
+
     def score(self, audio_emb: np.ndarray, text_emb: np.ndarray) -> np.ndarray:
         """exp(logit_scale)·A@T.T over the full gallery (device matmul;
         sharded over the mesh when one is configured)."""

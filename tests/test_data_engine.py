@@ -131,3 +131,18 @@ def test_eval_cli_parser_defaults():
     args = build_parser().parse_args(
         ["--ckpt_path", "x", "--task", "caption", "--dtype", "bfloat16"])
     assert args.task == "caption" and args.dtype == "bfloat16"
+
+
+def test_embed_audio_long_chunks_and_matches_short(engine, rng):
+    short = rng.randn(8000).astype(np.float32)       # < 1 buffer
+    long = rng.randn(50_000).astype(np.float32)      # > 3 buffers (16k each)
+    out = engine.embed_audio_long([short, long])
+    assert out.shape == (2, engine.cfg.projection_size)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+    # a short clip reduces exactly to embed_audio
+    np.testing.assert_allclose(out[0], engine.embed_audio([short])[0], atol=1e-5)
+    # the long clip's embedding equals the renormalized mean of its chunks
+    chunks = [long[:16000], long[16000:32000], long[32000:48000], long[48000:]]
+    chunk_emb = engine.embed_audio(chunks)
+    mean = chunk_emb.mean(0)
+    np.testing.assert_allclose(out[1], mean / np.linalg.norm(mean), atol=1e-5)
