@@ -44,14 +44,22 @@ def load_audio(path: str, expected_sr: Optional[int] = None,
                target_sr: int = 16_000) -> np.ndarray:
     """Decode + mono + resample, reference semantics (eval_utils.py:6-16).
 
-    `expected_sr` mirrors the reference's per-dataset configured rate: the
-    resample ratio is computed from the FILE's actual rate; passing
-    expected_sr only sanity-checks the dataset config.
+    `expected_sr` mirrors the reference's per-dataset configured rate and,
+    like the reference, TAKES PRECEDENCE over the file's header rate when
+    given (the published numbers were produced that way).  A mismatch
+    between the two usually means a mis-stated dataset config, so it is
+    warned about rather than silently accepted.
     """
     wav, sr = read_wav(path)
     if wav.ndim > 1:
         wav = wav.mean(axis=-1)
     wav = wav.astype(np.float32)
+    if expected_sr is not None and sr != expected_sr:
+        import warnings
+
+        warnings.warn(
+            f"{path}: file rate {sr} != configured rate {expected_sr}; "
+            "using the configured rate (reference behavior)")
     src_sr = sr if expected_sr is None else expected_sr
     if src_sr != target_sr:
         n_out = round(wav.shape[-1] * float(target_sr) / src_sr)

@@ -108,33 +108,42 @@ class CacoTrainLoader:
 
         return os.path.basename(path).split(".wav")[0]
 
+    # Native decode happens at the file's SOURCE rate; size that buffer for
+    # the highest rate we expect (48 kHz vs the 16 kHz model rate) so a
+    # non-16k clip isn't truncated before resampling.
+    MAX_SOURCE_RATE_RATIO = 3
+
     def _decode(self, paths: Sequence[str]):
-        try:
+        bufs = np.zeros((len(paths), self.buffer_samples), np.float32)
+        lens = np.zeros((len(paths),), np.int32)
+        try:  # native fast path available? (import may build the .so)
             from cacophony_tpu.native import wavio
 
-            bufs, lens, rates = wavio.decode_batch(list(paths), self.buffer_samples)
-            # native path: resample any non-16k rows on the host
-            from cacophony_tpu.frontend.dsp import resample_fft_host
-
-            for i, r in enumerate(rates):
-                if r and r != self.cfg.sample_rate:
-                    n = int(lens[i])
-                    out = resample_fft_host(
-                        bufs[i, :n], round(n * self.cfg.sample_rate / r))
-                    k = min(len(out), self.buffer_samples)
-                    bufs[i] = 0
-                    bufs[i, :k] = out[:k]
-                    lens[i] = k
-            return bufs, lens
+            wavio._load()
         except Exception:
             from cacophony_tpu.data.audio_io import load_audio, pad_to_buffer
 
-            bufs = np.zeros((len(paths), self.buffer_samples), np.float32)
-            lens = np.zeros((len(paths),), np.int32)
             for i, p in enumerate(paths):
                 wav = load_audio(p, target_sr=self.cfg.sample_rate)
                 bufs[i], lens[i] = pad_to_buffer(wav, self.buffer_samples)
             return bufs, lens
+
+        from cacophony_tpu.frontend.dsp import resample_fft_host
+
+        native_buffer = self.buffer_samples * self.MAX_SOURCE_RATE_RATIO
+        raw, raw_lens, rates = wavio.decode_batch(list(paths), native_buffer)
+        failed = [paths[i] for i in range(len(paths)) if rates[i] == 0]
+        if failed:  # surface corrupt files, don't train on silence
+            raise ValueError(f"wav decode failed for {failed}")
+        for i, r in enumerate(rates):
+            n = int(raw_lens[i])
+            wav = raw[i, :n]
+            if r != self.cfg.sample_rate:
+                wav = resample_fft_host(wav, round(n * self.cfg.sample_rate / r))
+            k = min(len(wav), self.buffer_samples)
+            bufs[i, :k] = wav[:k]
+            lens[i] = k
+        return bufs, lens
 
     def _pick_text(self, rng: np.random.RandomState, name: str) -> str:
         caps = self.captions[name]

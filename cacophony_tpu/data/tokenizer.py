@@ -23,9 +23,13 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-# GPT-2/RoBERTa pre-tokenization pattern (public, standard).
+# GPT-2/RoBERTa pre-tokenization pattern (public, standard), expressed with
+# Python re classes: letters = [^\W\d_] (≈ \p{L}), numbers = \d (≈ \p{N}),
+# punctuation = [^\s\w]|_ — the underscore must be listed explicitly because
+# \w contains it while \p{L}/\p{N} do not (ESC-50 labels like 'dog_bark'
+# would otherwise silently lose the '_').
 _PRETOKEN_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
     re.UNICODE,
 )
 

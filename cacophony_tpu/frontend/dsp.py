@@ -32,10 +32,8 @@ import numpy as np
 from cacophony_tpu.configs import FrontendConfig
 
 
-def num_stft_frames(num_samples: int, hop_length: int):
+def num_stft_frames(num_samples, hop_length: int):
     """tfio frame count: ceil(len / hop). Works on ints and traced scalars."""
-    if isinstance(num_samples, (int, np.integer)):
-        return -(-num_samples // hop_length)
     return -(-num_samples // hop_length)
 
 
@@ -181,7 +179,6 @@ def resample_fft(audio: jnp.ndarray, num_out: int) -> jnp.ndarray:
     x = jnp.fft.rfft(audio.astype(jnp.float32))
     nbins_out = num_out // 2 + 1
     n_keep = min(num_in, num_out)
-    nyq = n_keep // 2 + 1
 
     if num_out < num_in:  # downsample: truncate spectrum
         y = x[..., :nbins_out]

@@ -83,8 +83,4 @@ def wav_to_patches(
     num_valid_frames = num_stft_frames(num_valid_samples, front.hop_length)
     # Samples beyond num_valid_samples are zeros; frames past the valid count
     # are masked out in patchify, matching reference zero-padding.
-    return patchify_spectrogram(spec, num_valid_frames, PatchConfig(
-        time_patch_size=patch.time_patch_size,
-        freq_patch_size=patch.freq_patch_size,
-        patches_seq_len=patch.patches_seq_len,
-    ))
+    return patchify_spectrogram(spec, num_valid_frames, patch)

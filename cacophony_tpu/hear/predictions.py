@@ -247,37 +247,54 @@ def _concat_splits(parts):
     return np.concatenate(xs), np.concatenate(ys)
 
 
-def _score_model(model, embed_dir, metadata, test_s, data_test, idx_to_label):
-    x_test, y_test = data_test
+def _probs(model, x):
     with torch.no_grad():
-        probs = model.probabilities(torch.from_numpy(
-            np.array(x_test, np.float32, copy=True))).numpy()
+        return model.probabilities(torch.from_numpy(
+            np.array(x, np.float32, copy=True))).numpy()
 
-    scores: Dict[str, float] = {}
-    if metadata["embedding_type"] == "scene":
-        for name in metadata["evaluation"]:
-            if name in score_lib.SCENE_SCORES:
-                scores[name] = score_lib.SCENE_SCORES[name](probs, y_test)
-        return scores
 
-    with open(os.path.join(embed_dir,
-                           f"{test_s}.filename-timestamps.json")) as f:
+def _event_scores(probs, embed_dir, split, metadata, idx_to_label, post):
+    with open(os.path.join(embed_dir, f"{split}.filename-timestamps.json")) as f:
         fname_ts = json.load(f)
-    ref_events = _reference_events(embed_dir, test_s)
+    ref_events = _reference_events(embed_dir, split)
+    pred_events = get_events_for_all_files(probs, fname_ts, idx_to_label, post)
+    return {name: score_lib.EVENT_SCORES[name](ref_events, pred_events)
+            for name in metadata["evaluation"]
+            if name in score_lib.EVENT_SCORES}
+
+
+def _select_postprocess(model, embed_dir, metadata, valid_s, data_valid,
+                        idx_to_label) -> Dict:
+    """Pick the postprocess config on the VALIDATION split by the task's
+    primary metric (reference selects postprocessing per epoch on
+    validation, task_predictions.py:388-530 — never on test)."""
+    probs = _probs(model, data_valid[0])
+    primary = metadata["evaluation"][0]
+    sign = -1.0 if primary in score_lib.LOWER_IS_BETTER else 1.0
     post_keys = sorted(EVENT_POSTPROCESSING_GRID)
-    # postprocess grid: keep the best setting per metric (reference selects
-    # postprocessing on validation; grid is tiny so max-over-grid is the
-    # same selection applied directly)
+    best_post, best_val = None, -np.inf
     for vals in itertools.product(
             *(EVENT_POSTPROCESSING_GRID[k] for k in post_keys)):
         post = dict(zip(post_keys, vals))
-        pred_events = get_events_for_all_files(probs, fname_ts,
-                                               idx_to_label, post)
-        for name in metadata["evaluation"]:
-            if name in score_lib.EVENT_SCORES:
-                s = score_lib.EVENT_SCORES[name](ref_events, pred_events)
-                scores[name] = max(scores.get(name, -np.inf), s)
-    return scores
+        s = _event_scores(probs, embed_dir, valid_s, metadata,
+                          idx_to_label, post)
+        v = sign * s.get(primary, -np.inf)
+        if v > best_val:
+            best_post, best_val = post, v
+    return best_post or dict(zip(post_keys, [
+        EVENT_POSTPROCESSING_GRID[k][0] for k in post_keys]))
+
+
+def _score_model(model, embed_dir, metadata, test_s, data_test, idx_to_label,
+                 postprocess: Optional[Dict] = None):
+    probs = _probs(model, data_test[0])
+    if metadata["embedding_type"] == "scene":
+        return {name: score_lib.SCENE_SCORES[name](probs, data_test[1])
+                for name in metadata["evaluation"]
+                if name in score_lib.SCENE_SCORES}
+    return _event_scores(probs, embed_dir, test_s, metadata, idx_to_label,
+                         postprocess or {k: v[0] for k, v in
+                                         EVENT_POSTPROCESSING_GRID.items()})
 
 
 def task_predictions(
@@ -340,7 +357,8 @@ def task_predictions(
         if val > best["score"]:
             best = {"score": val, "conf": conf, "model": model}
 
-    # evaluate (re-training the best config per fold rotation)
+    # evaluate (re-training the best config per fold rotation); event-task
+    # postprocessing is selected on the fold's VALIDATION split
     per_fold: List[Dict[str, float]] = []
     for i, (test_s, valid_s, train_ss) in enumerate(assignments):
         if i == 0:
@@ -349,8 +367,13 @@ def task_predictions(
             x_tr, y_tr = _concat_splits([data[s] for s in train_ss])
             model, _ = train_probe(x_tr, y_tr, *data[valid_s], metadata,
                                    best["conf"], seed=seed)
+        post = None
+        if metadata["embedding_type"] == "event":
+            post = _select_postprocess(model, embed_dir, metadata, valid_s,
+                                       data[valid_s], idx_to_label)
         per_fold.append(_score_model(model, embed_dir, metadata, test_s,
-                                     data[test_s], idx_to_label))
+                                     data[test_s], idx_to_label,
+                                     postprocess=post))
 
     names = sorted({n for f in per_fold for n in f})
     scores = {n: float(np.mean([f[n] for f in per_fold if n in f])) for n in names}

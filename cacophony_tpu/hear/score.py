@@ -113,6 +113,41 @@ def segment_based_f1(reference_events: List[dict], estimated_events: List[dict],
     return float(2 * ntp / denom) if denom else 0.0
 
 
+def segment_based_error_rate(reference_events: List[dict],
+                             estimated_events: List[dict],
+                             segment_ms: float = 1000.0) -> float:
+    """Segment-based ERROR RATE (lower is better): per segment,
+    S = min(FN, FP), D = max(0, FN−FP), I = max(0, FP−FN);
+    ER = (ΣS + ΣD + ΣI) / ΣN with N = active reference labels per segment
+    (Mesaros et al. 2016 §2.1 — what sed_eval reports for the reference's
+    'segment_1s_er', reference score.py:394-400)."""
+    ref_by_file = _event_dict_by_file(reference_events)
+    est_by_file = _event_dict_by_file(estimated_events)
+    s_total = d_total = i_total = n_total = 0
+    for fname in sorted(set(ref_by_file) | set(est_by_file)):
+        refs, ests = ref_by_file.get(fname, []), est_by_file.get(fname, [])
+        max_end = max([e["end"] for e in refs + ests] + [0.0])
+        nseg = int(np.ceil(max_end / segment_ms)) or 1
+        labels = sorted({e["label"] for e in refs + ests})
+        ref_act = np.zeros((nseg, len(labels)), bool)
+        est_act = np.zeros((nseg, len(labels)), bool)
+        for act, evs in [(ref_act, refs), (est_act, ests)]:
+            for e in evs:
+                c = labels.index(e["label"])
+                lo = int(e["start"] // segment_ms)
+                hi = int(np.ceil(e["end"] / segment_ms))
+                act[lo:max(hi, lo + 1), c] = True
+        fn = (ref_act & ~est_act).sum(axis=1)
+        fp = (~ref_act & est_act).sum(axis=1)
+        s_total += int(np.minimum(fn, fp).sum())
+        d_total += int(np.maximum(0, fn - fp).sum())
+        i_total += int(np.maximum(0, fp - fn).sum())
+        n_total += int(ref_act.sum())
+    if n_total == 0:
+        return 0.0 if (s_total + d_total + i_total) == 0 else float("inf")
+    return float((s_total + d_total + i_total) / n_total)
+
+
 def event_based_f1(reference_events: List[dict], estimated_events: List[dict],
                    t_collar_ms: float = 200.0,
                    percentage_of_length: float = 0.2) -> float:
@@ -178,8 +213,13 @@ SCENE_SCORES = {
 }
 
 EVENT_SCORES = {
-    "segment_1s_er": segment_based_f1,   # primary reported as F1
+    # sed_eval semantics: segment_1s_er is an ERROR RATE (lower is better)
+    "segment_1s_er": segment_based_error_rate,
+    "segment_1s_fms": segment_based_f1,
     "event_onset_200ms_fms": onset_only_event_based_f1,
     "event_onset_offset_50ms_20perc_fms": lambda r, e: event_based_f1(
         r, e, t_collar_ms=50.0, percentage_of_length=0.2),
 }
+
+# metrics where smaller values win (selection/aggregation direction)
+LOWER_IS_BETTER = {"segment_1s_er"}

@@ -156,12 +156,15 @@ class CacoEngine:
     def embed_audio(self, wavs: Sequence[np.ndarray]) -> np.ndarray:
         """16 kHz fp32 waveforms → L2-normalized embeddings (n, proj)."""
         bufs, lens, n = self._buffers(wavs)
-        out = []
+        # Dispatch every bucket before fetching any result: the device
+        # queue overlaps with host batch prep / transfers instead of
+        # synchronizing per bucket.
+        pending = []
         for i in range(0, len(bufs), self.batch_size):
             chunk = self._device({"b": bufs[i:i + self.batch_size],
                                   "l": lens[i:i + self.batch_size]})
-            out.append(np.asarray(self._audio_fn(self.params, chunk["b"], chunk["l"])))
-        return np.concatenate(out)[:n]
+            pending.append(self._audio_fn(self.params, chunk["b"], chunk["l"]))
+        return np.concatenate([np.asarray(p) for p in pending])[:n]
 
     def audio_patch_batch(self, wavs: Sequence[np.ndarray]):
         """Device patch batch for one bucket (captioning/HEAR paths)."""

@@ -229,3 +229,24 @@ def test_hear_audiomae_embedder_route(hear_task_dir, tmp_path):
     n, dim = json.loads(
         (embed_task_dir / "test.embedding-dimensions.json").read_text())
     assert dim == enc.hidden_size and n == 4
+
+
+def test_segment_error_rate_semantics():
+    ref = [{"filename": "f", "label": "A", "start": 0, "end": 2000}]
+    # perfect prediction → ER 0
+    assert score_lib.segment_based_error_rate(ref, ref) == 0.0
+    # miss entirely → 2 deletions / 2 active segments = 1.0
+    assert score_lib.segment_based_error_rate(ref, []) == 1.0
+    # spurious extra class in both segments → 2 insertions / 2 = +1.0
+    est = ref + [{"filename": "f", "label": "B", "start": 0, "end": 2000}]
+    assert score_lib.segment_based_error_rate(ref, est) == 1.0
+    # registry direction
+    assert "segment_1s_er" in score_lib.LOWER_IS_BETTER
+    assert score_lib.EVENT_SCORES["segment_1s_er"] is score_lib.segment_based_error_rate
+
+
+def test_tokenizer_underscore():
+    from cacophony_tpu.data.tokenizer import _PRETOKEN_RE
+
+    assert "".join(_PRETOKEN_RE.findall("air_conditioner")) == "air_conditioner"
+    assert "".join(_PRETOKEN_RE.findall("dog_bark a b_c")) == "dog_bark a b_c"

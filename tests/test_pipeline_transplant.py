@@ -140,3 +140,40 @@ def test_convert_hf_roberta_layout():
         hf["encoder"]["layer"]["0"]["attention"]["self"]["query"]["kernel"])
     np.testing.assert_array_equal(ours["embeddings"]["word"],
                                   hf["embeddings"]["word_embeddings"]["embedding"])
+
+
+def test_train_loader_non_16k_full_length(tmp_path):
+    """A 1-s 44.1 kHz clip must resample to the FULL 16000 samples (the
+    native decode buffer is sized at the source rate; a truncation bug here
+    previously cut non-16k clips to buffer/2.75)."""
+    from scipy.io import wavfile
+
+    p = tmp_path / "hi.wav"
+    wav = (np.random.RandomState(0).randn(44_100) * 0.1).astype(np.float32)
+    wavfile.write(str(p), 44_100, (wav * 32767).astype(np.int16))
+    caps = {"hi": ["a sound"]}
+    cfg = TrainDataConfig(batch_size=1, buffer_seconds=1.0, max_text_len=8)
+    loader = CacoTrainLoader([str(p)], caps, _byte_tokenizer(), cfg,
+                             shuffle=False)
+    batch = next(iter(loader))
+    assert int(batch["audio_lens"][0]) == 16_000
+    # content matches the host-exact resampler
+    from cacophony_tpu.frontend.dsp import resample_fft_host
+
+    int16_wav = ((wav * 32767).astype(np.int16)).astype(np.float32) / 32768.0
+    expected = resample_fft_host(int16_wav, 16_000)
+    np.testing.assert_allclose(batch["audio_bufs"][0], expected, atol=1e-4)
+
+
+def test_train_loader_raises_on_corrupt_wav(tmp_path):
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("native decoder unavailable")
+    p = tmp_path / "bad.wav"
+    p.write_bytes(b"not a riff file at all")
+    cfg = TrainDataConfig(batch_size=1, buffer_seconds=1.0, max_text_len=8)
+    loader = CacoTrainLoader([str(p)], {"bad": ["x"]}, _byte_tokenizer(), cfg,
+                             shuffle=False)
+    with pytest.raises(ValueError, match="decode failed"):
+        next(iter(loader))
