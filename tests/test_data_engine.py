@@ -146,3 +146,41 @@ def test_embed_audio_long_chunks_and_matches_short(engine, rng):
     chunk_emb = engine.embed_audio(chunks)
     mean = chunk_emb.mean(0)
     np.testing.assert_allclose(out[1], mean / np.linalg.norm(mean), atol=1e-5)
+
+
+def test_gallery_index_incremental_and_topk(rng):
+    from cacophony_tpu.runtime.gallery import GalleryIndex
+
+    dim = 16
+    emb = rng.randn(20, dim).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    g = GalleryIndex(dim, logit_scale=2.0, slab=8)
+    g.add(emb[:5], labels=[f"a{i}" for i in range(5)])
+    g.add(emb[5:], labels=[f"a{i}" for i in range(5, 20)])
+    assert g.size == 20 and g.capacity == 24  # grown in slabs of 8
+
+    scores, idx, labels = g.search(emb[:3], k=4)
+    assert scores.shape == (3, 4)
+    # self-match must rank first with score exp(2)*1
+    assert (idx[:, 0] == np.arange(3)).all()
+    np.testing.assert_allclose(scores[:, 0], np.exp(2.0), rtol=1e-4)
+    assert labels[1][0] == "a1"
+    # brute-force agreement
+    brute = np.exp(2.0) * emb[:3] @ emb.T
+    np.testing.assert_allclose(np.sort(scores[0]),
+                               np.sort(np.sort(brute[0])[-4:]), rtol=1e-4)
+
+
+def test_gallery_index_sharded(rng):
+    from cacophony_tpu.parallel import make_mesh
+    from cacophony_tpu.runtime.gallery import GalleryIndex
+
+    dim = 8
+    emb = rng.randn(32, dim).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        g = GalleryIndex(dim, slab=16, mesh=mesh)
+        g.add(emb)
+        scores, idx, _ = g.search(emb[:2], k=3)
+    assert (idx[:, 0] == np.arange(2)).all()
