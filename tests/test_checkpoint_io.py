@@ -92,3 +92,27 @@ def test_audiomae_reference_layout_roundtrip(tmp_path):
                                      overwrite=True)
     _, loaded = load_audiomae(ckpt_dir, strict_counts=False)
     _trees_equal(params, loaded)
+
+
+def test_load_caco_missing_path(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_caco(str(tmp_path / "nope"))
+
+
+def test_engine_requires_tokenizer_for_text():
+    from cacophony_tpu.runtime import CacoEngine
+
+    cfg = configs.caco_tiny()
+    engine = CacoEngine(cfg, caco_init(jax.random.PRNGKey(0), cfg),
+                        buffer_seconds=1.0)
+    with pytest.raises(ValueError, match="tokenizer"):
+        engine.embed_texts(["x"])
+
+
+def test_tokenizer_resolution_error_message(tmp_path):
+    from cacophony_tpu.data.tokenizer import load_tokenizer
+
+    import os
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    with pytest.raises(FileNotFoundError, match="vocab.json"):
+        load_tokenizer(str(tmp_path / "not-a-tokenizer"))

@@ -88,3 +88,43 @@ def test_checkpoint_pruning(tmp_path):
         save_train_state(state, ckdir, keep=2)
     steps = sorted(d for d in os.listdir(ckdir) if d.startswith("step_"))
     assert steps == ["step_00000003", "step_00000004"]
+
+
+def test_train_runner_cli_smoke(tmp_path):
+    """The training runner end-to-end (tiny, 2 steps, dp=2) through main()."""
+    import csv as csv_mod
+    import json
+
+    from scipy.io import wavfile
+
+    from cacophony_tpu.data.tokenizer import _bytes_to_unicode
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rows = [["file_name", "caption"]]
+    for i in range(4):
+        wav = (np.random.RandomState(i).randn(8000) * 0.1).astype(np.float32)
+        wavfile.write(str(data / f"c{i}.wav"), 16_000,
+                      (wav * 32767).astype(np.int16))
+        rows.append([f"c{i}.wav", f"sound {i}"])
+    with open(data / "captions.csv", "w", newline="") as f:
+        csv_mod.writer(f).writerows(rows)
+
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    for c in _bytes_to_unicode().values():
+        vocab[c] = len(vocab)
+    (tok_dir / "vocab.json").write_text(json.dumps(vocab))
+    (tok_dir / "merges.txt").write_text("#version: 0.2\n")
+
+    from cacophony_tpu.train.runner import main
+
+    work = str(tmp_path / "work")
+    main(["--stage", "caco", "--data-dir", str(data), "--workdir", work,
+          "--tokenizer", str(tok_dir), "--steps", "2", "--batch-size", "4",
+          "--buffer-seconds", "0.5", "--patches-seq-len", "16",
+          "--dp", "2", "--tp", "1", "--tiny-model",
+          "--checkpoint-every", "0", "--log-every", "1"])
+    metrics = [json.loads(l) for l in open(os.path.join(work, "metrics.jsonl"))]
+    assert len(metrics) >= 2 and np.isfinite(metrics[-1]["loss"])
