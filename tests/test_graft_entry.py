@@ -25,3 +25,8 @@ def test_entry_is_jittable():
 def test_dryrun_multichip_small():
     g = _load_entry()
     g.dryrun_multichip(4)  # conftest provides 8 CPU devices
+
+
+def test_dryrun_scales_to_eight():
+    g = _load_entry()
+    g.dryrun_multichip(8)
