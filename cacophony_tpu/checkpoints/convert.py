@@ -170,6 +170,15 @@ def convert_caption_decoder(ref: dict) -> dict:
 
 def convert_caco_params(ref_params: dict) -> dict:
     """Full released-CACO tree (`state['0']['params']`) → our param tree."""
+    expected = {"audio_module", "text_module", "audio_attention_pool",
+                "text_proj", "logit_scale"}
+    missing = expected - set(ref_params)
+    if missing:
+        raise KeyError(
+            f"checkpoint layout drift: missing top-level keys {sorted(missing)} "
+            f"(found {sorted(ref_params)}). Expected the released Cacophony "
+            "msgpack layout state['0']['params'] (reference load_model.py:15-20)."
+        )
     pool = ref_params["audio_attention_pool"]
     out = {
         "audio": convert_audio_encoder(ref_params["audio_module"]),

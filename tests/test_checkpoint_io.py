@@ -116,3 +116,10 @@ def test_tokenizer_resolution_error_message(tmp_path):
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
     with pytest.raises(FileNotFoundError, match="vocab.json"):
         load_tokenizer(str(tmp_path / "not-a-tokenizer"))
+
+
+def test_convert_rejects_wrong_layout():
+    from cacophony_tpu.checkpoints.convert import convert_caco_params
+
+    with pytest.raises(KeyError, match="layout drift"):
+        convert_caco_params({"something_else": {}})
