@@ -100,6 +100,7 @@ class CacoTrainLoader:
         self.tokenizer = tokenizer
         self.cfg = cfg
         self.shuffle = shuffle
+        self.start_batch = 0  # set before iterating to resume a stream
         self.buffer_samples = int(round(cfg.buffer_seconds * cfg.sample_rate))
 
     @staticmethod
@@ -132,10 +133,16 @@ class CacoTrainLoader:
 
         native_buffer = self.buffer_samples * self.MAX_SOURCE_RATE_RATIO
         raw, raw_lens, rates = wavio.decode_batch(list(paths), native_buffer)
-        failed = [paths[i] for i in range(len(paths)) if rates[i] == 0]
-        if failed:  # surface corrupt files, don't train on silence
-            raise ValueError(f"wav decode failed for {failed}")
         for i, r in enumerate(rates):
+            if r == 0:
+                # wavio handles PCM/float only; fall back per file (A-law,
+                # exotic chunks, ...) and raise only if THAT fails too —
+                # never train on silent zero rows.
+                from cacophony_tpu.data.audio_io import load_audio, pad_to_buffer
+
+                wav = load_audio(paths[i], target_sr=self.cfg.sample_rate)
+                bufs[i], lens[i] = pad_to_buffer(wav, self.buffer_samples)
+                continue
             n = int(raw_lens[i])
             wav = raw[i, :n]
             if r != self.cfg.sample_rate:
@@ -154,17 +161,35 @@ class CacoTrainLoader:
         return text
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.RandomState(self.cfg.seed)
-        order = np.arange(len(self.filepaths))
-        epoch = 0
+        bs = self.cfg.batch_size
+        if len(self.filepaths) < bs:
+            raise ValueError(
+                f"{len(self.filepaths)} usable files < batch_size {bs} — "
+                "check that captions.csv file_name values match the wavs")
+        batches_per_epoch = len(self.filepaths) // bs
+        # Resume support: skip `start_batch` batches WITHOUT decoding them
+        # (epoch shuffles and caption draws are deterministic in the batch
+        # index, so a resumed stream continues exactly where it left off).
+        start = self.start_batch
+        epoch = start // batches_per_epoch
+
         while True:
+            # fresh permutation per epoch (a cumulative in-place shuffle
+            # would make epoch k's order depend on having replayed 0..k-1,
+            # breaking resume)
+            order = np.arange(len(self.filepaths))
             if self.shuffle:
                 np.random.RandomState(self.cfg.seed + epoch).shuffle(order)
-            bs = self.cfg.batch_size
-            for i in range(0, len(order) - bs + 1, bs):
-                idx = order[i:i + bs]
+            for b in range(batches_per_epoch):
+                if epoch * batches_per_epoch + b < start:
+                    continue
+                idx = order[b * bs:(b + 1) * bs]
                 paths = [self.filepaths[j] for j in idx]
                 bufs, lens = self._decode(paths)
+                # caption choice seeded by global batch index → reproducible
+                # across resumes
+                rng = np.random.RandomState(
+                    self.cfg.seed * 1_000_003 + epoch * batches_per_epoch + b)
                 texts = [self._pick_text(rng, self._name(p)) for p in paths]
                 tok = self.tokenizer(texts, padding="max_length", truncation=True,
                                      max_length=self.cfg.max_text_len,

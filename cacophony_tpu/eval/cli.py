@@ -33,7 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tokenizer", default="roberta-base",
                    help="HF name or local dir with vocab.json/merges.txt")
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--max_text_len", type=int, default=100)
+    p.add_argument("--max_text_len", type=int, default=None,
+                   help="default: 100 (77 for audiocaps)")
     p.add_argument("--output_dir", default=None)
     p.add_argument("--no_strict_counts", action="store_true",
                    help="skip published param-count checks (custom models)")
@@ -63,7 +64,7 @@ def main(argv=None):
             ["esc50", "tutas2017", "us8k", "vggsound"]
         engine = CacoEngine(cfg, params, tokenizer=tokenizer,
                             buffer_seconds=10.0, batch_size=args.batch_size,
-                            max_text_len=args.max_text_len, dtype=dtype)
+                            max_text_len=args.max_text_len or 100, dtype=dtype)
         results = {}
         for name in datasets:
             proc = PROCESSORS[name]()
@@ -76,10 +77,10 @@ def main(argv=None):
 
     name = args.dataset or "clotho"
     # Clotho uses a 30 s / text-100 budget, AudioCaps 10 s / text-77
-    # (reference eval_caco.py:349-357 and its AudioCaps config :362-370).
+    # (reference eval_caco.py:349-357 and its AudioCaps config :362-370);
+    # an explicit --max_text_len always wins.
     buffer_seconds = 10.0 if name == "audiocaps" else 30.0
-    max_text_len = (77 if name == "audiocaps" else 100) \
-        if args.max_text_len == 100 else args.max_text_len
+    max_text_len = args.max_text_len or (77 if name == "audiocaps" else 100)
     engine = CacoEngine(cfg, params, tokenizer=tokenizer,
                         buffer_seconds=buffer_seconds,
                         batch_size=args.batch_size, max_text_len=max_text_len,

@@ -243,6 +243,7 @@ def _reference_events(embed_dir: str, split: str) -> List[Dict]:
 # --------------------------------------------------------------- orchestrate
 
 def _concat_splits(parts):
+    assert parts, "no training splits"
     xs, ys = zip(*parts)
     return np.concatenate(xs), np.concatenate(ys)
 
@@ -338,11 +339,13 @@ def task_predictions(
     if kfold:
         folds = sorted(splits)
         k = len(folds)
-        assignments = [
-            (folds[i], folds[(i + 1) % k],
-             [folds[j] for j in range(k) if j != i and j != (i + 1) % k])
-            for i in range(k)
-        ]
+        assignments = []
+        for i in range(k):
+            test_s, valid_s = folds[i], folds[(i + 1) % k]
+            train_ss = [folds[j] for j in range(k)
+                        if j != i and j != (i + 1) % k]
+            # 2-fold tasks have no third fold: train on the validation fold
+            assignments.append((test_s, valid_s, train_ss or [valid_s]))
     else:
         assignments = [("test", "valid", ["train"])]
 

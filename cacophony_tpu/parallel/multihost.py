@@ -32,9 +32,15 @@ def initialize_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except Exception as e:  # single-host or already initialized
+    except ValueError:
+        # autodetection found no cluster env: genuine single-host run —
+        # but if the caller EXPECTED a cluster, that is an error
         if num_processes not in (None, 1):
             raise
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise  # real coordinator failure must not silently degrade
+            # a pod run into independent single-host training
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

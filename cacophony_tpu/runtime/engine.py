@@ -115,10 +115,14 @@ class CacoEngine:
 
         return fn
 
-    @functools.lru_cache(maxsize=8)
     def _decode_fn(self, max_length: int, temperature: float):
-        """Compiled once per (max_length, temperature) — cached so repeated
-        caption() calls don't re-trace."""
+        """Compiled once per (max_length, temperature) — cached per INSTANCE
+        (an lru_cache on the method would pin the engine, and its param
+        tree, in a process-global cache)."""
+        cache = self.__dict__.setdefault("_decode_fns", {})
+        key = (max_length, temperature)
+        if key in cache:
+            return cache[key]
         cfg = self.cfg
 
         @jax.jit
@@ -129,6 +133,7 @@ class CacoEngine:
                           eos_id=self.tokenizer.eos_token_id,
                           pad_id=self.tokenizer.pad_token_id, rng=rng)
 
+        cache[key] = fn
         return fn
 
     # ------------------------------------------------------------- helpers
@@ -156,15 +161,19 @@ class CacoEngine:
     def embed_audio(self, wavs: Sequence[np.ndarray]) -> np.ndarray:
         """16 kHz fp32 waveforms → L2-normalized embeddings (n, proj)."""
         bufs, lens, n = self._buffers(wavs)
-        # Dispatch every bucket before fetching any result: the device
-        # queue overlaps with host batch prep / transfers instead of
-        # synchronizing per bucket.
-        pending = []
+        # Bounded dispatch window: keep a few buckets in flight so host prep
+        # overlaps device compute without queueing O(dataset) input buffers
+        # in HBM.
+        window = 4
+        pending, out = [], []
         for i in range(0, len(bufs), self.batch_size):
             chunk = self._device({"b": bufs[i:i + self.batch_size],
                                   "l": lens[i:i + self.batch_size]})
             pending.append(self._audio_fn(self.params, chunk["b"], chunk["l"]))
-        return np.concatenate([np.asarray(p) for p in pending])[:n]
+            if len(pending) > window:
+                out.append(np.asarray(pending.pop(0)))
+        out.extend(np.asarray(p) for p in pending)
+        return np.concatenate(out)[:n]
 
     def audio_patch_batch(self, wavs: Sequence[np.ndarray]):
         """Device patch batch for one bucket (captioning/HEAR paths)."""

@@ -174,6 +174,7 @@ def main(argv=None):
 
         metrics_log = MetricsLogger(os.path.join(args.workdir, "metrics.jsonl"))
         start = int(state.step)
+        loader.start_batch = start  # resume the data stream, don't replay it
         it = prefetch_to_device(loader, size=2)
         for i, host_batch in enumerate(it):
             step_i = start + i

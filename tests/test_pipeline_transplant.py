@@ -175,5 +175,33 @@ def test_train_loader_raises_on_corrupt_wav(tmp_path):
     cfg = TrainDataConfig(batch_size=1, buffer_seconds=1.0, max_text_len=8)
     loader = CacoTrainLoader([str(p)], {"bad": ["x"]}, _byte_tokenizer(), cfg,
                              shuffle=False)
-    with pytest.raises(ValueError, match="decode failed"):
+    with pytest.raises(ValueError):  # native fails -> per-file fallback also fails
         next(iter(loader))
+
+
+def test_train_loader_resume_continues_stream(tmp_path):
+    """start_batch=k must yield exactly the k-th..(k+n) batches of a fresh
+    stream (resumed training must not replay seen data)."""
+    from scipy.io import wavfile
+    import itertools
+
+    paths, caps = [], {}
+    for i in range(8):
+        p = tmp_path / f"c{i}.wav"
+        wav = (np.random.RandomState(i).randn(4000) * 0.1).astype(np.float32)
+        wavfile.write(str(p), 16_000, (wav * 32767).astype(np.int16))
+        paths.append(str(p))
+        caps[f"c{i}"] = [f"cap {i} a", f"cap {i} b"]
+
+    cfg = TrainDataConfig(batch_size=2, buffer_seconds=0.5, max_text_len=12,
+                          seed=5)
+    fresh = list(itertools.islice(iter(
+        CacoTrainLoader(paths, caps, _byte_tokenizer(), cfg)), 7))
+
+    resumed_loader = CacoTrainLoader(paths, caps, _byte_tokenizer(), cfg)
+    resumed_loader.start_batch = 5  # crosses an epoch boundary (4 per epoch)
+    resumed = list(itertools.islice(iter(resumed_loader), 2))
+
+    for a, b in zip(resumed, fresh[5:7]):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
