@@ -36,12 +36,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_text_len", type=int, default=None,
                    help="default: 100 (77 for audiocaps)")
     p.add_argument("--output_dir", default=None)
+    p.add_argument("--output_json", default=None,
+                   help="write task results to this JSON file")
     p.add_argument("--no_strict_counts", action="store_true",
                    help="skip published param-count checks (custom models)")
     p.add_argument("--tiny_model", action="store_true",
                    help="load the checkpoint with the tiny test config")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     return p
+
+
+def _write_json(path, payload):
+    if path:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2, default=float)
+        print(f"results written to {path}")
 
 
 def main(argv=None):
@@ -73,6 +84,7 @@ def main(argv=None):
             results[name] = zs_classification(engine, proc,
                                               split=args.split or "",
                                               text_prefix=prefix)
+        _write_json(args.output_json, {"task": "zs", "top1_accuracy": results})
         return results
 
     name = args.dataset or "clotho"
@@ -88,8 +100,15 @@ def main(argv=None):
     proc = PROCESSORS[name]()
     split = args.split or ("evaluation" if name == "clotho" else "test")
     if args.task == "ar":
-        return audio_retrieval(engine, proc, split=split)
-    return audio_captioning(engine, proc, split=split, output_dir=args.output_dir)
+        results = audio_retrieval(engine, proc, split=split)
+        _write_json(args.output_json,
+                    {"task": "ar", "dataset": name, "results": results})
+        return results
+    preds, gts = audio_captioning(engine, proc, split=split,
+                                  output_dir=args.output_dir)
+    _write_json(args.output_json,
+                {"task": "caption", "dataset": name, "num_clips": len(preds)})
+    return preds, gts
 
 
 if __name__ == "__main__":
