@@ -250,3 +250,60 @@ def test_tokenizer_underscore():
 
     assert "".join(_PRETOKEN_RE.findall("air_conditioner")) == "air_conditioner"
     assert "".join(_PRETOKEN_RE.findall("dog_bark a b_c")) == "dog_bark a b_c"
+
+
+def test_hear_event_task_end_to_end(tmp_path):
+    """Full two-phase pipeline on a synthetic EVENT task (timestamps,
+    per-frame labels, probe training, validation-selected postprocess,
+    segment-ER/event-F1 scoring)."""
+    from cacophony_tpu.hear.embeddings import CacoHearEmbedder
+    from cacophony_tpu.hear.runner import task_embeddings
+
+    task = tmp_path / "tasks" / "toyevent-v1.0.0-full"
+    (task / "16000").mkdir(parents=True)
+    metadata = {
+        "task_name": "toyevent",
+        "embedding_type": "event",
+        "prediction_type": "multilabel",
+        "splits": ["train", "valid", "test"],
+        "evaluation": ["segment_1s_er", "event_onset_200ms_fms"],
+        "sample_duration": 2.0,
+    }
+    (task / "task_metadata.json").write_text(json.dumps(metadata))
+    with open(task / "labelvocabulary.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["idx", "label"])
+        w.writerow(["0", "beep"])
+        w.writerow(["1", "hiss"])
+    seed = 100
+    for split, n in [("train", 6), ("valid", 4), ("test", 4)]:
+        d = task / "16000" / split
+        d.mkdir(parents=True)
+        split_json = {}
+        for i in range(n):
+            name = f"{split}_{i}.wav"
+            _write_wav(d / name, 2.0, 16_000, seed)
+            label = "beep" if i % 2 == 0 else "hiss"
+            split_json[name] = [
+                {"label": label, "start": 0.0, "end": 900.0},
+                {"label": label, "start": 1200.0, "end": 1800.0},
+            ]
+            seed += 1
+        (task / f"{split}.json").write_text(json.dumps(split_json))
+
+    cfg = configs.caco_tiny()
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    embedder = CacoHearEmbedder(cfg, params, sample_rate=16_000,
+                                audio_max_len_s=2.0, batch_size=4)
+    embed_task_dir = tmp_path / "embeddings" / "caco" / task.name
+    task_embeddings(embedder, task, embed_task_dir)
+
+    # event store artifacts exist
+    assert (embed_task_dir / "test.filename-timestamps.json").exists()
+
+    result = task_predictions(str(embed_task_dir),
+                              grid=FASTER_PARAM_GRID, grid_points=1)
+    assert "segment_1s_er" in result["test"]
+    assert result["test"]["segment_1s_er"] >= 0.0
+    assert 0.0 <= result["test"]["event_onset_200ms_fms"] <= 1.0
+    assert "test_segment_1s_er_std" in result["aggregated_scores"]
