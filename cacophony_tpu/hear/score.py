@@ -217,6 +217,8 @@ EVENT_SCORES = {
     "segment_1s_er": segment_based_error_rate,
     "segment_1s_fms": segment_based_f1,
     "event_onset_200ms_fms": onset_only_event_based_f1,
+    "event_onset_50ms_fms": lambda r, e: onset_only_event_based_f1(
+        r, e, t_collar_ms=50.0),
     "event_onset_offset_50ms_20perc_fms": lambda r, e: event_based_f1(
         r, e, t_collar_ms=50.0, percentage_of_length=0.2),
 }
