@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default=None)
     p.add_argument("--output_json", default=None,
                    help="write task results to this JSON file")
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler trace of the run (XProf)")
     p.add_argument("--no_strict_counts", action="store_true",
                    help="skip published param-count checks (custom models)")
     p.add_argument("--tiny_model", action="store_true",
@@ -57,7 +59,17 @@ def _write_json(path, payload):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.trace_dir:
+        import contextlib
 
+        from cacophony_tpu.utils import trace
+
+        with trace(args.trace_dir):
+            return _run(args)
+    return _run(args)
+
+
+def _run(args):
     import jax.numpy as jnp
 
     from cacophony_tpu.configs import caco_tiny

@@ -38,14 +38,21 @@ def zs_classification(
 ) -> float:
     """Zero-shot: rank prompted class embeddings per clip, top-1 accuracy
     (reference eval_caco.py:144-181)."""
+    from cacophony_tpu.utils import StageTimer
+
+    timer = StageTimer()
     filepaths, descriptions, _ = processor.get_filepaths_and_descriptions(split)
     class_labels = sorted({descriptions[a]["description"][0] for a in descriptions})
     class_to_idx = {c: i for i, c in enumerate(class_labels)}
 
-    text_emb = engine.embed_texts([text_prefix + c for c in class_labels])
-    wavs = _load_dataset_audio(processor, filepaths)
-    audio_emb = engine.embed_audio(wavs)
-    logits = engine.score(audio_emb, text_emb)
+    with timer.stage("text_embed"):
+        text_emb = engine.embed_texts([text_prefix + c for c in class_labels])
+    with timer.stage("host_decode"):
+        wavs = _load_dataset_audio(processor, filepaths)
+    with timer.stage("audio_embed"):
+        audio_emb = engine.embed_audio(wavs)
+    with timer.stage("score"):
+        logits = engine.score(audio_emb, text_emb)
     pred = logits.argmax(axis=-1)
 
     targets = np.asarray(
@@ -55,6 +62,7 @@ def zs_classification(
     if verbose:
         print(f"top 1 accuracy: {acc:.4f} ({len(filepaths)} clips, "
               f"{len(class_labels)} classes)")
+        print(timer.report())
     return acc
 
 
