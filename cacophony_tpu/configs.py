@@ -75,6 +75,9 @@ class AudioEncoderConfig:
     intermediate_size: int = 3072
     patch_size: int = 256  # 16 * 16
     num_freq_patches: int = 8
+    # Informational only — carried from the reference checkpoint configs
+    # (load_model.py:34,78) but never consumed by any compute there or here
+    # (the sin-cos embedding takes raw indices unbounded).
     max_time_ind: int = 10_000
     dropout_rate: float = 0.0
     drop_path_rate: float = 0.0

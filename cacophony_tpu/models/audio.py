@@ -95,7 +95,9 @@ def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
 
     h = layer_norm(p["ln1"], x, LN_EPS)
     h, _ = multi_head_attention(p["attn"], h, num_heads=num_heads, bias=bias,
-                                dtype=dtype, flash_mask=flash_mask)
+                                dtype=dtype, flash_mask=flash_mask,
+                                dropout_rate=0.0 if det else dropout_rate,
+                                dropout_rng=r(5))
     h = dropout(r(0), h, dropout_rate, det)
     x = x + drop_path(r(1), h, drop_path_rate, det)
 

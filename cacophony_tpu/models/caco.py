@@ -202,6 +202,10 @@ def decode_step(
     step_rng = jax.random.fold_in(rng, state.index)
     sampled = sample_logits(step_rng, logits, temperature=temperature,
                             top_k=top_k, top_p=top_p)
+    # NOTE (bug-compatible with reference caco.py:199): finished streams
+    # write token id 0 — NOT pad_id — into the remaining positions.  With
+    # the RoBERTa tokenizer id 0 is <s>, stripped by skip_special_tokens;
+    # a custom tokenizer whose id 0 is a real token would leak it.
     new_ids = state.input_ids.at[:, state.index + 1].set(sampled * g)
     new_g = g * (sampled != eos_id).astype(jnp.int32)
     return DecodeState(new_text_cache, new_dec_cache, new_ids,

@@ -127,6 +127,8 @@ def _text_block(
     h, new_cache = multi_head_attention(
         p["attn"], x, num_heads=cfg.num_heads, bias=bias,
         kv_cache=kv_cache, cache_index=cache_index,
+        dropout_rate=0.0 if det else cfg.attention_dropout,
+        dropout_rng=r(3),
     )
     x = _post_ln_residual(p["ln_attn"], h, x, eps, r(0), cfg.hidden_dropout, det)
 
@@ -146,6 +148,8 @@ def _text_block(
             h, _ = multi_head_attention(
                 p["cross"], x, num_heads=cfg.num_heads, bias=memory_bias,
                 memory=memory,
+                dropout_rate=0.0 if det else cfg.attention_dropout,
+                dropout_rng=r(4),
             )
         x = _post_ln_residual(p["ln_cross"], h, x, eps, r(1), cfg.hidden_dropout, det)
 

@@ -89,6 +89,8 @@ def multi_head_attention(
     cache_index: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
     flash_mask: Optional[jnp.ndarray] = None,  # (B, S): use flash kernel
+    dropout_rate: float = 0.0,                  # attention-prob dropout (train)
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """Returns (out (B,S,D), new_kv_cache or None).
 
@@ -142,5 +144,8 @@ def multi_head_attention(
         logits = logits + bias.astype(logits.dtype)
     # Softmax in fp32 for stability under bf16 compute.
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, s, d)
     return dense(params["o"], out, dtype), new_cache

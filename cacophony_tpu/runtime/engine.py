@@ -58,9 +58,12 @@ class CacoEngine:
         self.front = FrontendConfig()
         buffer_samples = int(round(buffer_seconds * self.front.sample_rate))
         if patches_seq_len is None:
-            # reference sizing rule (eval_caco.py:321,351): 8 freq patches
-            # per 16-frame time patch at hop 160
-            patches_seq_len = buffer_samples * 8 // 160 // 16
+            # reference sizing rule (eval_caco.py:321,351): every valid
+            # patch of the buffer fits
+            from cacophony_tpu.frontend import num_patches_for_samples
+
+            patches_seq_len = num_patches_for_samples(
+                buffer_samples, self.front, PatchConfig())
         self.patch = PatchConfig(patches_seq_len=patches_seq_len)
         self.buffer_samples = buffer_samples
         self.max_text_len = max_text_len
@@ -88,10 +91,10 @@ class CacoEngine:
 
     @functools.cached_property
     def _patches_fn(self):
-        cfg, front, patch = self.cfg, self.front, self.patch
+        front, patch = self.front, self.patch
 
         @jax.jit
-        def fn(params, bufs, lens):
+        def fn(bufs, lens):
             return jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(bufs, lens)
 
         return fn
@@ -179,7 +182,7 @@ class CacoEngine:
         """Device patch batch for one bucket (captioning/HEAR paths)."""
         bufs, lens, n = self._buffers(wavs)
         chunk = self._device({"b": bufs, "l": lens})
-        return self._patches_fn(self.params, chunk["b"], chunk["l"]), n
+        return self._patches_fn(chunk["b"], chunk["l"]), n
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Tokenize (pad-to-max like the reference, dataset.py:128-140) and

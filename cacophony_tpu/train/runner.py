@@ -105,17 +105,22 @@ def main(argv=None):
     dcfg = TrainDataConfig(batch_size=args.batch_size,
                            buffer_seconds=args.buffer_seconds,
                            seed=args.seed)
-    loader = CacoTrainLoader(
-        [w for w in wavs if os.path.basename(w).split(".wav")[0] in captions]
-        if args.stage == "caco" else wavs,
-        captions if captions else {os.path.basename(w).split(".wav")[0]: ["-"]
-                                   for w in wavs},
-        tokenizer, dcfg, synthetic_captions=synthetic)
+    if args.stage == "caco":
+        loader_wavs = [w for w in wavs
+                       if os.path.basename(w).split(".wav")[0] in captions]
+        loader_caps = captions
+    else:  # MAE needs no captions: dummy entries for every wav
+        loader_wavs = wavs
+        loader_caps = {os.path.basename(w).split(".wav")[0]: ["-"] for w in wavs}
+    loader = CacoTrainLoader(loader_wavs, loader_caps, tokenizer, dcfg,
+                             synthetic_captions=synthetic)
 
     # ---- model / frontend
     front = FrontendConfig()
     buffer_samples = int(round(args.buffer_seconds * front.sample_rate))
-    full_seq = (buffer_samples // front.hop_length // 16) * (front.num_mels // 16)
+    from cacophony_tpu.frontend import num_patches_for_samples
+
+    full_seq = num_patches_for_samples(buffer_samples, front, PatchConfig())
     full_patch = PatchConfig(patches_seq_len=max(full_seq, args.patches_seq_len))
     frontend = device_train_frontend(front, full_patch, args.patches_seq_len)
 

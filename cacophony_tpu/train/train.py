@@ -55,9 +55,16 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
         init_value=0.0, peak_value=tc.learning_rate,
         warmup_steps=warmup, decay_steps=tc.total_steps,
     )
+
+    def decay_mask(params):
+        # decay matrices/embeddings only — never biases, LayerNorm
+        # scales/biases, or logit_scale (standard CLIP/transformer practice;
+        # decaying logit_scale would drag the learned temperature to 0)
+        return jax.tree_util.tree_map(lambda x: jnp.ndim(x) >= 2, params)
+
     return optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
-        optax.adamw(schedule, weight_decay=tc.weight_decay),
+        optax.adamw(schedule, weight_decay=tc.weight_decay, mask=decay_mask),
     )
 
 
