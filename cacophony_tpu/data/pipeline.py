@@ -134,10 +134,12 @@ class CacoTrainLoader:
         native_buffer = self.buffer_samples * self.MAX_SOURCE_RATE_RATIO
         raw, raw_lens, rates = wavio.decode_batch(list(paths), native_buffer)
         for i, r in enumerate(rates):
-            if r == 0:
-                # wavio handles PCM/float only; fall back per file (A-law,
-                # exotic chunks, ...) and raise only if THAT fails too —
-                # never train on silent zero rows.
+            if r == 0 or r > self.cfg.sample_rate * self.MAX_SOURCE_RATE_RATIO:
+                # Fall back per file: r==0 = format wavio can't decode
+                # (A-law, exotic chunks); rates above
+                # MAX_SOURCE_RATE_RATIO×target (>48 kHz) would be silently
+                # truncated by the sized native buffer — never train on
+                # truncated/silent rows.
                 from cacophony_tpu.data.audio_io import load_audio, pad_to_buffer
 
                 wav = load_audio(paths[i], target_sr=self.cfg.sample_rate)

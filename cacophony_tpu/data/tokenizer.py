@@ -23,15 +23,23 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-# GPT-2/RoBERTa pre-tokenization pattern (public, standard), expressed with
-# Python re classes: letters = [^\W\d_] (≈ \p{L}), numbers = \d (≈ \p{N}),
-# punctuation = [^\s\w]|_ — the underscore must be listed explicitly because
-# \w contains it while \p{L}/\p{N} do not (ESC-50 labels like 'dog_bark'
-# would otherwise silently lose the '_').
-_PRETOKEN_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
-    re.UNICODE,
-)
+# GPT-2/RoBERTa pre-tokenization pattern (public, standard).  The `regex`
+# module gives the exact \p{L}/\p{N} classes; the stdlib-`re` fallback
+# approximates them ([^\W\d_] admits No/Nl characters like '²' as letters —
+# a known, tiny divergence) and must list '_' in the punctuation class
+# because \w contains it while \p{L}/\p{N} do not.
+try:
+    import regex as _regex
+
+    _PRETOKEN_RE = _regex.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+        r"|\s+(?!\S)|\s+"
+    )
+except ImportError:  # pragma: no cover
+    _PRETOKEN_RE = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
+        re.UNICODE,
+    )
 
 
 @functools.lru_cache(maxsize=1)

@@ -202,7 +202,11 @@ def create_events_from_prediction(
             if col[t] and on is None:
                 on = ts[t]
             if on is not None and (not col[t] or t == len(col) - 1):
-                off = ts[t] if not col[t] else ts[-1]
+                # end = the LAST ACTIVE frame's timestamp (reference
+                # task_predictions.py:672-676) — ending on the first
+                # inactive frame would stretch every event by one step and
+                # keep single-frame events the reference drops
+                off = ts[t - 1] if not col[t] else ts[t]
                 if off - on >= min_duration_ms:
                     events.append({"label": idx_to_label[c],
                                    "start": float(on), "end": float(off)})

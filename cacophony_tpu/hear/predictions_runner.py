@@ -46,7 +46,9 @@ def run(embeddings_dir: str, task: str = "all", grid: str = "default",
             continue
         log_path = task_dir / "prediction.log"
         handler = logging.FileHandler(log_path)
-        logging.getLogger("cacophony_tpu.hear").addHandler(handler)
+        task_logger = logging.getLogger("cacophony_tpu.hear")
+        task_logger.setLevel(logging.INFO)  # default WARNING would drop
+        task_logger.addHandler(handler)     # the per-conf INFO lines
         try:
             _check_embedding_dims(task_dir)
             result = task_predictions(str(task_dir), grid=GRIDS[grid],

@@ -47,30 +47,40 @@ def chroma_accuracy(predictions: np.ndarray, targets: np.ndarray) -> float:
 
 
 def mean_average_precision(predictions: np.ndarray, targets: np.ndarray) -> float:
-    """Macro-averaged AP over classes with at least one positive."""
+    """Macro-averaged AP over ALL classes (reference score.py:289-315 —
+    degenerate classes propagate NaN rather than being silently dropped)."""
     from sklearn.metrics import average_precision_score
 
-    keep = targets.sum(axis=0) > 0
-    if not keep.any():
-        return 0.0
-    return float(average_precision_score(targets[:, keep], predictions[:, keep],
-                                         average="macro"))
+    try:
+        return float(average_precision_score(targets, predictions,
+                                             average="macro"))
+    except ValueError:
+        return float("nan")
 
 
 def aucroc(predictions: np.ndarray, targets: np.ndarray) -> float:
+    """Macro AUC-ROC over ALL classes (NaN on degenerate splits, like the
+    reference score.py:343-362)."""
     from sklearn.metrics import roc_auc_score
 
-    keep = (targets.sum(axis=0) > 0) & (targets.sum(axis=0) < len(targets))
-    if not keep.any():
-        return 0.5
-    return float(roc_auc_score(targets[:, keep], predictions[:, keep],
-                               average="macro"))
+    try:
+        return float(roc_auc_score(targets, predictions, average="macro"))
+    except ValueError:
+        return float("nan")
 
 
 def d_prime(predictions: np.ndarray, targets: np.ndarray) -> float:
-    """d' = sqrt(2)·Φ⁻¹(AUC) (reference DPrime, score.py:317)."""
-    auc = aucroc(predictions, targets)
-    return float((2 ** 0.5) * norm.ppf(np.clip(auc, 1e-7, 1 - 1e-7)))
+    """Mean over classes of sqrt(2)·Φ⁻¹(per-class AUC) — per-class BEFORE
+    the nonlinear ppf, like the reference (score.py:317-341); ppf of the
+    averaged AUC gives materially different values."""
+    from sklearn.metrics import roc_auc_score
+
+    try:
+        per_class = roc_auc_score(targets, predictions, average=None)
+    except ValueError:
+        return float("nan")
+    per_class = np.clip(np.atleast_1d(per_class), 1e-7, 1 - 1e-7)
+    return float(np.mean((2 ** 0.5) * norm.ppf(per_class)))
 
 
 # -------------------------------------------- event scores (sed_eval-style)

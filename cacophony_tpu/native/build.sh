@@ -2,6 +2,8 @@
 # Build the native host-IO library (libcacoph_wavio.so).
 set -euo pipefail
 cd "$(dirname "$0")"
-g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread \
+# no -march=native: the .so may outlive the build host (shared FS /
+# container images); the decoder is IO-bound anyway
+g++ -O3 -std=c++17 -shared -fPIC -pthread \
     wavio.cpp -o libcacoph_wavio.so
 echo "built $(pwd)/libcacoph_wavio.so"

@@ -50,7 +50,10 @@ bool decode_wav_buffer(const uint8_t* buf, size_t len, Decoded* out) {
       channels = rd_u16(chunk + 10);
       sample_rate = rd_u32(chunk + 12);
       bits = rd_u16(chunk + 22);
-      if (format == 0xFFFE && chunk_len >= 40)  // WAVE_FORMAT_EXTENSIBLE
+      // WAVE_FORMAT_EXTENSIBLE: the sub-format lives 24 bytes into the fmt
+      // body — bound-check against the BUFFER, not just the declared
+      // chunk_len (truncated files lie about chunk_len)
+      if (format == 0xFFFE && chunk_len >= 40 && pos + 8 + 26 <= len)
         format = rd_u16(chunk + 8 + 24);
     } else if (memcmp(chunk, "data", 4) == 0) {
       data = chunk + 8;

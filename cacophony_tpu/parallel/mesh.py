@@ -40,7 +40,14 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if dp is None:
         dp = len(devices) // tp
+    if dp * tp > len(devices):
+        raise ValueError(f"mesh {dp}×{tp} needs {dp * tp} devices, "
+                         f"have {len(devices)}")
     if dp * tp != len(devices):
+        import warnings
+
+        warnings.warn(f"mesh {dp}×{tp} uses {dp * tp} of {len(devices)} "
+                      "devices; the rest idle")
         devices = devices[: dp * tp]
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
