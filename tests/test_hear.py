@@ -307,3 +307,28 @@ def test_hear_event_task_end_to_end(tmp_path):
     assert result["test"]["segment_1s_er"] >= 0.0
     assert 0.0 <= result["test"]["event_onset_200ms_fms"] <= 1.0
     assert "test_segment_1s_er_std" in result["aggregated_scores"]
+
+
+def test_d_prime_per_class_before_mean():
+    """d' must average per-class ppf(AUC), not ppf(mean AUC) — the
+    nonlinearity makes these differ (reference DPrime semantics)."""
+    from scipy.stats import norm
+
+    rng = np.random.RandomState(0)
+    n = 200
+    targets = np.zeros((n, 2), np.float32)
+    targets[:100, 0] = 1
+    targets[100:, 1] = 1
+    # class 0 separable (high AUC), class 1 near-random
+    preds = np.zeros((n, 2))
+    preds[:, 0] = targets[:, 0] * 2 + rng.randn(n) * 0.3
+    preds[:, 1] = rng.randn(n)
+
+    from sklearn.metrics import roc_auc_score
+
+    per_class = roc_auc_score(targets, preds, average=None)
+    expected = np.mean(np.sqrt(2) * norm.ppf(np.clip(per_class, 1e-7, 1 - 1e-7)))
+    got = score_lib.d_prime(preds, targets)
+    assert got == pytest.approx(expected, rel=1e-6)
+    wrong = np.sqrt(2) * norm.ppf(per_class.mean())
+    assert abs(got - wrong) > 0.05  # the two formulations genuinely differ
