@@ -91,12 +91,17 @@ class AudioEncoderConfig:
 
 @dataclasses.dataclass(frozen=True)
 class AudioDecoderConfig:
-    """AudioMAE reconstruction decoder (stage-1; reference mae.py:144-188)."""
+    """AudioMAE reconstruction decoder (stage-1; reference mae.py:144-188).
 
-    hidden_size: int = 512
-    num_layers: int = 8
+    Defaults match the RELEASED stage-1 checkpoint's 85.85M decoder
+    (reference README.md:60): 768-d/12L/3072-ffn gives 85,850,368 params
+    exactly — not the AudioMAE paper's 512-d/8L. `load_audiomae` infers
+    these from checkpoint shapes regardless (checkpoints/io.py)."""
+
+    hidden_size: int = 768
+    num_layers: int = 12
     num_heads: int = 8
-    intermediate_size: int = 2048
+    intermediate_size: int = 3072
     patch_size: int = 256
     num_freq_patches: int = 8
     dropout_rate: float = 0.0
@@ -175,8 +180,9 @@ def audiomae_base() -> AudioMAEConfig:
     """Canonical stage-1 AudioMAE config (reference load_model.py:71-84).
 
     The reference repo ships only the encoder config for the released MAE
-    checkpoint; decoder dims here follow the AudioMAE paper's default
-    (512-d, 8-layer) and are configurable.
+    checkpoint; decoder dims (768-d/12L, see AudioDecoderConfig) are
+    derived from the published 85.85M decoder size and are re-inferred
+    from checkpoint shapes at load time.
     """
     return AudioMAEConfig()
 

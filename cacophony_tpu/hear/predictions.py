@@ -113,20 +113,57 @@ def _load_split(embed_dir: str, split: str, label_to_idx: Dict[str, int],
     return np.asarray(x), y
 
 
-def _primary_score(metadata: Dict, predictions: np.ndarray, targets: np.ndarray,
-                   *, events_pred=None, events_ref=None) -> float:
-    name = metadata["evaluation"][0]
-    if name in score_lib.SCENE_SCORES:
-        return score_lib.SCENE_SCORES[name](predictions, targets)
-    if name in score_lib.EVENT_SCORES:
-        return score_lib.EVENT_SCORES[name](events_ref, events_pred)
-    raise ValueError(f"unknown score {name}")
+def _primary_sign(metadata: Dict) -> float:
+    """+1 when the task's primary metric maximizes, −1 when it minimizes
+    (the reference sets EarlyStopping/ModelCheckpoint mode from
+    scores[0].maximize, task_predictions.py:994-1005)."""
+    return -1.0 if metadata["evaluation"][0] in score_lib.LOWER_IS_BETTER else 1.0
+
+
+def _postprocess_confs() -> List[Dict]:
+    """EVENT_POSTPROCESSING_GRID as sklearn-ParameterGrid-ordered dicts
+    (sorted keys, cartesian product — task_predictions.py:117-122)."""
+    keys = sorted(EVENT_POSTPROCESSING_GRID)
+    return [dict(zip(keys, vals)) for vals in
+            itertools.product(*(EVENT_POSTPROCESSING_GRID[k] for k in keys))]
+
+
+def _select_event_postprocess(probs: np.ndarray, metadata: Dict,
+                              target_events: Dict, fname_ts,
+                              idx_to_label) -> Tuple[float, Dict]:
+    """One validation epoch of the reference's EventPredictionModel
+    (_score_epoch_end, task_predictions.py:471-516): extract events for
+    EVERY postprocessing config, score each with the primary metric
+    (NaN → 0.0), pick the best by descending (score, postprocessing) —
+    the reference's unconditional sort(reverse=True), which it applies
+    even to minimizing primaries. Returns (primary score, postprocess)."""
+    primary_fn = score_lib.EVENT_SCORES[metadata["evaluation"][0]]
+    scored = []
+    for post in _postprocess_confs():
+        pred_events = get_events_for_all_files(probs, fname_ts, idx_to_label,
+                                               post)
+        s = primary_fn(pred_events, target_events)
+        if np.isnan(s):
+            s = 0.0
+        scored.append((s, tuple(sorted(post.items()))))
+    scored.sort(reverse=True)
+    return scored[0][0], dict(scored[0][1])
 
 
 def train_probe(x_train, y_train, x_valid, y_valid, metadata, conf,
-                seed: int = 42) -> Tuple[MLPProbe, float]:
-    """Train one probe with early stopping on the validation primary score
-    (scene tasks) / validation loss (event tasks use post-hoc selection)."""
+                seed: int = 42, event_ctx: Optional[Dict] = None,
+                ) -> Tuple[MLPProbe, float, Optional[Dict]]:
+    """Train one probe with early stopping on the validation PRIMARY score.
+
+    Scene tasks monitor the primary scene metric. Event tasks follow the
+    reference protocol (task_predictions.py:388-530): at every validation
+    check the postprocessing grid is swept on validation predictions, the
+    best primary score is the monitored value, and the postprocessing of
+    the best epoch is returned for test-time use. `event_ctx` supplies
+    {'target_events', 'fname_ts', 'idx_to_label'} for that sweep.
+
+    Returns (model at its best epoch, best raw score, best postprocessing
+    or None for scene tasks)."""
     torch.manual_seed(seed)
     model = MLPProbe(x_train.shape[1], y_train.shape[1],
                      metadata["prediction_type"], conf)
@@ -135,9 +172,11 @@ def train_probe(x_train, y_train, x_valid, y_valid, metadata, conf,
     xt = torch.from_numpy(np.array(x_train, np.float32, copy=True))
     yt = torch.from_numpy(np.array(y_train, np.float32, copy=True))
     xv = torch.from_numpy(np.array(x_valid, np.float32, copy=True))
-    yv = torch.from_numpy(np.array(y_valid, np.float32, copy=True))
 
-    best_score, best_state, since_best = -np.inf, None, 0
+    sign = _primary_sign(metadata)
+    is_event = metadata["embedding_type"] == "event"
+    best_signed, best_raw, best_state, best_post, since_best = (
+        -np.inf, float("nan"), None, None, 0)
     bs = conf["batch_size"]
     for epoch in range(conf["max_epochs"]):
         model.train()
@@ -156,12 +195,17 @@ def train_probe(x_train, y_train, x_valid, y_valid, metadata, conf,
         model.eval()
         with torch.no_grad():
             probs = model.probabilities(xv).numpy()
-        if metadata["embedding_type"] == "scene":
-            val = _primary_score(metadata, probs, y_valid)
-        else:  # event: monitor AUPRC-ish via mAP over frames
-            val = score_lib.mean_average_precision(probs, y_valid)
-        if val > best_score:
-            best_score, since_best = val, 0
+        post = None
+        if is_event:
+            val, post = _select_event_postprocess(
+                probs, metadata, event_ctx["target_events"],
+                event_ctx["fname_ts"], event_ctx["idx_to_label"])
+        else:
+            name = metadata["evaluation"][0]
+            val = score_lib.SCENE_SCORES[name](probs, y_valid)
+        if sign * val > best_signed:
+            best_signed, best_raw, best_post, since_best = (
+                sign * val, val, post, 0)
             best_state = {k: v.clone() for k, v in model.state_dict().items()}
         else:
             since_best += 1
@@ -170,7 +214,7 @@ def train_probe(x_train, y_train, x_valid, y_valid, metadata, conf,
     if best_state is not None:
         model.load_state_dict(best_state)
     model.eval()
-    return model, float(best_score)
+    return model, float(best_raw), best_post
 
 
 # -------------------------------------------------------------- event utils
@@ -215,33 +259,34 @@ def create_events_from_prediction(
 
 
 def get_events_for_all_files(predictions: np.ndarray, filename_timestamps,
-                             idx_to_label, postprocess: Dict) -> List[Dict]:
-    """Group frame rows by source file, extract events per file."""
+                             idx_to_label, postprocess: Dict) -> Dict[str, List[Dict]]:
+    """Group frame rows by source file, extract events per file. Returns
+    {filename: [events]} with an entry for EVERY file — empty-prediction
+    files stay present, which matters because scoring iterates prediction
+    filenames (reference get_events_for_all_files, task_predictions.py:686-764)."""
     rows_by_file = defaultdict(list)
     for i, (slug, ts) in enumerate(filename_timestamps):
         rows_by_file[slug].append((ts, i))
-    events = []
+    events: Dict[str, List[Dict]] = {}
     for slug, rows in rows_by_file.items():
         rows.sort()
         ts = [r[0] for r in rows]
         pred = predictions[[r[1] for r in rows]]
-        for e in create_events_from_prediction(
-            pred, ts, idx_to_label, median_filter_ms=postprocess["median_filter_ms"],
-            min_duration_ms=postprocess["min_duration"],
-        ):
-            events.append(dict(e, filename=os.path.basename(slug)))
+        events[os.path.basename(slug)] = create_events_from_prediction(
+            pred, ts, idx_to_label,
+            median_filter_ms=postprocess["median_filter_ms"],
+            min_duration_ms=postprocess["min_duration"])
     return events
 
 
-def _reference_events(embed_dir: str, split: str) -> List[Dict]:
+def _reference_events(embed_dir: str, split: str) -> Dict[str, List[Dict]]:
+    """{split}.json → {filename: [events]} (the reference's
+    validation/test_target_events, task_predictions.py:417-420)."""
     with open(os.path.join(embed_dir, f"{split}.json")) as f:
         split_data = json.load(f)
-    events = []
-    for fname, evs in split_data.items():
-        for e in evs:
-            events.append({"filename": fname, "label": e["label"],
-                           "start": e["start"], "end": e["end"]})
-    return events
+    return {fname: [{"label": e["label"], "start": e["start"], "end": e["end"]}
+                    for e in evs]
+            for fname, evs in split_data.items()}
 
 
 # --------------------------------------------------------------- orchestrate
@@ -258,36 +303,18 @@ def _probs(model, x):
             np.array(x, np.float32, copy=True))).numpy()
 
 
-def _event_scores(probs, embed_dir, split, metadata, idx_to_label, post):
+def _load_fname_ts(embed_dir, split):
     with open(os.path.join(embed_dir, f"{split}.filename-timestamps.json")) as f:
-        fname_ts = json.load(f)
+        return json.load(f)
+
+
+def _event_scores(probs, embed_dir, split, metadata, idx_to_label, post):
     ref_events = _reference_events(embed_dir, split)
-    pred_events = get_events_for_all_files(probs, fname_ts, idx_to_label, post)
-    return {name: score_lib.EVENT_SCORES[name](ref_events, pred_events)
+    pred_events = get_events_for_all_files(probs, _load_fname_ts(embed_dir, split),
+                                           idx_to_label, post)
+    return {name: score_lib.EVENT_SCORES[name](pred_events, ref_events)
             for name in metadata["evaluation"]
             if name in score_lib.EVENT_SCORES}
-
-
-def _select_postprocess(model, embed_dir, metadata, valid_s, data_valid,
-                        idx_to_label) -> Dict:
-    """Pick the postprocess config on the VALIDATION split by the task's
-    primary metric (reference selects postprocessing per epoch on
-    validation, task_predictions.py:388-530 — never on test)."""
-    probs = _probs(model, data_valid[0])
-    primary = metadata["evaluation"][0]
-    sign = -1.0 if primary in score_lib.LOWER_IS_BETTER else 1.0
-    post_keys = sorted(EVENT_POSTPROCESSING_GRID)
-    best_post, best_val = None, -np.inf
-    for vals in itertools.product(
-            *(EVENT_POSTPROCESSING_GRID[k] for k in post_keys)):
-        post = dict(zip(post_keys, vals))
-        s = _event_scores(probs, embed_dir, valid_s, metadata,
-                          idx_to_label, post)
-        v = sign * s.get(primary, -np.inf)
-        if v > best_val:
-            best_post, best_val = post, v
-    return best_post or dict(zip(post_keys, [
-        EVENT_POSTPROCESSING_GRID[k][0] for k in post_keys]))
 
 
 def _score_model(model, embed_dir, metadata, test_s, data_test, idx_to_label,
@@ -297,9 +324,10 @@ def _score_model(model, embed_dir, metadata, test_s, data_test, idx_to_label,
         return {name: score_lib.SCENE_SCORES[name](probs, data_test[1])
                 for name in metadata["evaluation"]
                 if name in score_lib.SCENE_SCORES}
+    # test uses the postprocessing chosen at the best VALIDATION epoch
+    # (reference epoch_best_postprocessing, task_predictions.py:425-434)
     return _event_scores(probs, embed_dir, test_s, metadata, idx_to_label,
-                         postprocess or {k: v[0] for k, v in
-                                         EVENT_POSTPROCESSING_GRID.items()})
+                         postprocess or _postprocess_confs()[0])
 
 
 def task_predictions(
@@ -353,31 +381,41 @@ def task_predictions(
     else:
         assignments = [("test", "valid", ["train"])]
 
+    is_event = metadata["embedding_type"] == "event"
+
+    def _event_ctx(valid_s):
+        if not is_event:
+            return None
+        return {"target_events": _reference_events(embed_dir, valid_s),
+                "fname_ts": _load_fname_ts(embed_dir, valid_s),
+                "idx_to_label": idx_to_label}
+
     # grid search on the first assignment
     test0, valid0, train0 = assignments[0]
     x_tr, y_tr = _concat_splits([data[s] for s in train0])
-    best = {"score": -np.inf, "conf": None, "model": None}
+    sign = _primary_sign(metadata)
+    ctx0 = _event_ctx(valid0)
+    best = {"signed": -np.inf, "score": float("nan"), "conf": None,
+            "model": None, "post": None}
     for conf in confs:
-        model, val = train_probe(x_tr, y_tr, *data[valid0], metadata, conf,
-                                 seed=seed)
+        model, val, post = train_probe(x_tr, y_tr, *data[valid0], metadata,
+                                       conf, seed=seed, event_ctx=ctx0)
         logger.info("conf %s → valid %.4f", conf, val)
-        if val > best["score"]:
-            best = {"score": val, "conf": conf, "model": model}
+        if sign * val > best["signed"]:
+            best = {"signed": sign * val, "score": val, "conf": conf,
+                    "model": model, "post": post}
 
     # evaluate (re-training the best config per fold rotation); event-task
-    # postprocessing is selected on the fold's VALIDATION split
+    # postprocessing comes from each fold's best VALIDATION epoch
     per_fold: List[Dict[str, float]] = []
     for i, (test_s, valid_s, train_ss) in enumerate(assignments):
         if i == 0:
-            model = best["model"]
+            model, post = best["model"], best["post"]
         else:
             x_tr, y_tr = _concat_splits([data[s] for s in train_ss])
-            model, _ = train_probe(x_tr, y_tr, *data[valid_s], metadata,
-                                   best["conf"], seed=seed)
-        post = None
-        if metadata["embedding_type"] == "event":
-            post = _select_postprocess(model, embed_dir, metadata, valid_s,
-                                       data[valid_s], idx_to_label)
+            model, _, post = train_probe(x_tr, y_tr, *data[valid_s], metadata,
+                                         best["conf"], seed=seed,
+                                         event_ctx=_event_ctx(valid_s))
         per_fold.append(_score_model(model, embed_dir, metadata, test_s,
                                      data[test_s], idx_to_label,
                                      postprocess=post))

@@ -83,136 +83,180 @@ def d_prime(predictions: np.ndarray, targets: np.ndarray) -> float:
     return float(np.mean((2 ** 0.5) * norm.ppf(per_class)))
 
 
-# -------------------------------------------- event scores (sed_eval-style)
+# -------------------------------------------- event scores (sed_eval-exact)
+#
+# The reference scores event tasks with sed_eval through heareval's
+# SoundEventScore (reference score.py:183-286):
+#   - score fns are called as fn(predictions, targets) with BOTH arguments
+#     dicts {filename: [ {label, start, end} ]} in milliseconds,
+#   - evaluate() is invoked per filename in PREDICTIONS (score.py:224-228),
+#     so files present only in the targets are never evaluated,
+#   - sed_eval SegmentBasedMetrics grids each file to
+#     ceil(max(ref.max_offset, est.max_offset) / time_resolution) segments
+#     and marks roll[floor(onset/res):ceil(offset/res)] — a zero-length
+#     event on a boundary marks nothing,
+#   - sed_eval EventBasedMetrics matches hits with MAXIMUM bipartite
+#     matching (util.bipartite_match), not greedily,
+#   - all rates use eps = numpy.spacing(1) denominators.
 
-def _event_dict_by_file(events: List[dict]):
+EPS = float(np.spacing(1))
+
+
+def _events_by_file(events):
+    """Accept {filename: [events]} or a flat event list carrying
+    'filename' keys (our event-extraction output)."""
+    if isinstance(events, dict):
+        return events
     by_file = defaultdict(list)
     for e in events:
         by_file[e["filename"]].append(e)
-    return by_file
+    return dict(by_file)
 
 
-def segment_based_f1(reference_events: List[dict], estimated_events: List[dict],
-                     segment_ms: float = 1000.0) -> float:
-    """Segment-based overall F1: activity compared per fixed-length segment
-    per class (Mesaros et al. 2016 §2.1; sed_eval SegmentBasedMetrics
-    time_resolution=1.0, reference score.py:221-235).
-    Events: {'filename','label','start','end'} (ms)."""
-    ref_by_file = _event_dict_by_file(reference_events)
-    est_by_file = _event_dict_by_file(estimated_events)
-    ntp = nfp = nfn = 0
-    for fname in sorted(set(ref_by_file) | set(est_by_file)):
-        refs, ests = ref_by_file.get(fname, []), est_by_file.get(fname, [])
-        max_end = max([e["end"] for e in refs + ests] + [0.0])
-        nseg = int(np.ceil(max_end / segment_ms)) or 1
-        labels = sorted({e["label"] for e in refs + ests})
-        for label in labels:
-            ref_act = np.zeros(nseg, bool)
-            est_act = np.zeros(nseg, bool)
-            for act, evs in [(ref_act, refs), (est_act, ests)]:
-                for e in evs:
-                    if e["label"] != label:
-                        continue
-                    lo = int(e["start"] // segment_ms)
-                    hi = int(np.ceil(e["end"] / segment_ms))
-                    act[lo:max(hi, lo + 1)] = True
-            ntp += int((ref_act & est_act).sum())
-            nfp += int((~ref_act & est_act).sum())
-            nfn += int((ref_act & ~est_act).sum())
-    denom = 2 * ntp + nfp + nfn
-    return float(2 * ntp / denom) if denom else 0.0
+def _evaluated_filenames(predictions, targets):
+    """sed_eval via the reference iterates prediction filenames only
+    (score.py:224-228). Flat-list inputs can't represent empty-prediction
+    files, so they fall back to the union of filenames."""
+    if isinstance(predictions, dict):
+        return list(predictions.keys())
+    p, t = _events_by_file(predictions), _events_by_file(targets)
+    return sorted(set(p) | set(t))
 
 
-def segment_based_error_rate(reference_events: List[dict],
-                             estimated_events: List[dict],
-                             segment_ms: float = 1000.0) -> float:
-    """Segment-based ERROR RATE (lower is better): per segment,
-    S = min(FN, FP), D = max(0, FN−FP), I = max(0, FP−FN);
-    ER = (ΣS + ΣD + ΣI) / ΣN with N = active reference labels per segment
-    (Mesaros et al. 2016 §2.1 — what sed_eval reports for the reference's
-    'segment_1s_er', reference score.py:394-400)."""
-    ref_by_file = _event_dict_by_file(reference_events)
-    est_by_file = _event_dict_by_file(estimated_events)
-    s_total = d_total = i_total = n_total = 0
-    for fname in sorted(set(ref_by_file) | set(est_by_file)):
-        refs, ests = ref_by_file.get(fname, []), est_by_file.get(fname, [])
-        max_end = max([e["end"] for e in refs + ests] + [0.0])
-        nseg = int(np.ceil(max_end / segment_ms)) or 1
-        labels = sorted({e["label"] for e in refs + ests})
-        ref_act = np.zeros((nseg, len(labels)), bool)
-        est_act = np.zeros((nseg, len(labels)), bool)
-        for act, evs in [(ref_act, refs), (est_act, ests)]:
-            for e in evs:
-                c = labels.index(e["label"])
-                lo = int(e["start"] // segment_ms)
-                hi = int(np.ceil(e["end"] / segment_ms))
-                act[lo:max(hi, lo + 1), c] = True
-        fn = (ref_act & ~est_act).sum(axis=1)
-        fp = (~ref_act & est_act).sum(axis=1)
-        s_total += int(np.minimum(fn, fp).sum())
-        d_total += int(np.maximum(0, fn - fp).sum())
-        i_total += int(np.maximum(0, fp - fn).sum())
-        n_total += int(ref_act.sum())
-    if n_total == 0:
-        return 0.0 if (s_total + d_total + i_total) == 0 else float("inf")
-    return float((s_total + d_total + i_total) / n_total)
+def _roll(events: List[dict], label_index: Dict[str, int], nseg: int,
+          res_ms: float) -> np.ndarray:
+    roll = np.zeros((nseg, len(label_index)), bool)
+    for e in events:
+        lo = int(np.floor(e["start"] / res_ms))
+        hi = int(np.ceil(e["end"] / res_ms))
+        roll[lo:hi, label_index[e["label"]]] = True
+    return roll
 
 
-def event_based_f1(reference_events: List[dict], estimated_events: List[dict],
-                   t_collar_ms: float = 200.0,
-                   percentage_of_length: float = 0.2) -> float:
-    """Onset+offset event-based overall F1 with a ±collar on onsets and a
-    max(collar, 20% of event length) tolerance on offsets (sed_eval
-    EventBasedMetrics defaults used by the reference, score.py:236-259)."""
-    ref_by_file = _event_dict_by_file(reference_events)
-    est_by_file = _event_dict_by_file(estimated_events)
-    ntp = nref = nest = 0
-    for fname in sorted(set(ref_by_file) | set(est_by_file)):
-        refs, ests = ref_by_file.get(fname, []), est_by_file.get(fname, [])
+def segment_based_metrics(predictions, targets,
+                          time_resolution_ms: float = 1000.0) -> Dict[str, float]:
+    """sed_eval SegmentBasedMetrics overall results (reference
+    'segment_1s_er'/'segment_1s_fms' via SegmentBasedScore,
+    score.py:266-274,394-400). Events in ms."""
+    pred_by, ref_by = _events_by_file(predictions), _events_by_file(targets)
+    labels = sorted({e["label"]
+                     for evs in (*pred_by.values(), *ref_by.values())
+                     for e in evs})
+    label_index = {l: i for i, l in enumerate(labels)}
+    ntp = nref = nsys = s_tot = d_tot = i_tot = 0
+    for fname in _evaluated_filenames(predictions, targets):
+        refs = ref_by.get(fname, [])
+        ests = pred_by.get(fname, [])
+        max_off = max([e["end"] for e in refs + ests] + [0.0])
+        nseg = int(np.ceil(max_off / time_resolution_ms))
+        if nseg == 0:
+            continue
+        ref_roll = _roll(refs, label_index, nseg, time_resolution_ms)
+        est_roll = _roll(ests, label_index, nseg, time_resolution_ms)
+        tp_seg = (ref_roll & est_roll).sum(axis=1)
+        nref_seg = ref_roll.sum(axis=1)
+        nsys_seg = est_roll.sum(axis=1)
+        ntp += int(tp_seg.sum())
+        nref += int(nref_seg.sum())
+        nsys += int(nsys_seg.sum())
+        s_tot += int((np.minimum(nref_seg, nsys_seg) - tp_seg).sum())
+        d_tot += int(np.maximum(0, nref_seg - nsys_seg).sum())
+        i_tot += int(np.maximum(0, nsys_seg - nref_seg).sum())
+    precision = ntp / (nsys + EPS)
+    recall = ntp / (nref + EPS)
+    return {
+        "f_measure": 2 * precision * recall / (precision + recall + EPS),
+        "precision": precision,
+        "recall": recall,
+        "error_rate": (s_tot + d_tot + i_tot) / (nref + EPS),
+        "substitution_rate": s_tot / (nref + EPS),
+        "deletion_rate": d_tot / (nref + EPS),
+        "insertion_rate": i_tot / (nref + EPS),
+    }
+
+
+def _max_bipartite_matching(adj: List[List[int]]) -> int:
+    """Maximum-cardinality bipartite matching size (augmenting paths) —
+    sed_eval matches candidate hits optimally via util.bipartite_match."""
+    match_right: Dict[int, int] = {}
+
+    def try_assign(u: int, seen: set) -> bool:
+        for v in adj[u]:
+            if v in seen:
+                continue
+            seen.add(v)
+            if v not in match_right or try_assign(match_right[v], seen):
+                match_right[v] = u
+                return True
+        return False
+
+    return sum(try_assign(u, set()) for u in range(len(adj)))
+
+
+def event_based_metrics(predictions, targets, *, t_collar_ms: float = 200.0,
+                        evaluate_offset: bool = False,
+                        percentage_of_length: float = 0.5) -> Dict[str, float]:
+    """sed_eval EventBasedMetrics overall f-measure block (reference
+    EventBasedScore, score.py:276-286 with params from score.py:370-393).
+    Onset condition |Δonset| ≤ collar; offset condition
+    |Δoffset| ≤ max(collar, percentage_of_length · ref_length)."""
+    pred_by, ref_by = _events_by_file(predictions), _events_by_file(targets)
+    ntp = nref = nsys = 0
+    for fname in _evaluated_filenames(predictions, targets):
+        refs = ref_by.get(fname, [])
+        ests = pred_by.get(fname, [])
         nref += len(refs)
-        nest += len(ests)
-        used = [False] * len(ests)
+        nsys += len(ests)
+        adj: List[List[int]] = []
         for r in refs:
+            cands = []
+            off_tol = max(t_collar_ms,
+                          percentage_of_length * (r["end"] - r["start"]))
             for j, e in enumerate(ests):
-                if used[j] or e["label"] != r["label"]:
+                if e["label"] != r["label"]:
                     continue
-                onset_ok = abs(e["start"] - r["start"]) <= t_collar_ms
-                off_tol = max(t_collar_ms,
-                              percentage_of_length * (r["end"] - r["start"]))
-                offset_ok = abs(e["end"] - r["end"]) <= off_tol
-                if onset_ok and offset_ok:
-                    used[j] = True
-                    ntp += 1
-                    break
-    denom = nref + nest
-    return float(2 * ntp / denom) if denom else 0.0
+                if abs(e["start"] - r["start"]) > t_collar_ms:
+                    continue
+                if evaluate_offset and abs(e["end"] - r["end"]) > off_tol:
+                    continue
+                cands.append(j)
+            adj.append(cands)
+        ntp += _max_bipartite_matching(adj)
+    precision = ntp / (nsys + EPS)
+    recall = ntp / (nref + EPS)
+    return {
+        "f_measure": 2 * precision * recall / (precision + recall + EPS),
+        "precision": precision,
+        "recall": recall,
+    }
 
 
-def onset_only_event_based_f1(reference_events, estimated_events,
+def segment_based_error_rate(predictions, targets) -> float:
+    return float(segment_based_metrics(predictions, targets)["error_rate"])
+
+
+def segment_based_f1(predictions, targets) -> float:
+    return float(segment_based_metrics(predictions, targets)["f_measure"])
+
+
+def onset_only_event_based_f1(predictions, targets,
                               t_collar_ms: float = 200.0) -> float:
-    """Onset-only matching (reference 'event_onset_200ms_fms',
-    score.py:378-383)."""
-    ref_by_file = _event_dict_by_file(reference_events)
-    est_by_file = _event_dict_by_file(estimated_events)
-    ntp = nref = nest = 0
-    for fname in sorted(set(ref_by_file) | set(est_by_file)):
-        refs, ests = ref_by_file.get(fname, []), est_by_file.get(fname, [])
-        nref += len(refs)
-        nest += len(ests)
-        used = [False] * len(ests)
-        for r in refs:
-            for j, e in enumerate(ests):
-                if used[j] or e["label"] != r["label"]:
-                    continue
-                if abs(e["start"] - r["start"]) <= t_collar_ms:
-                    used[j] = True
-                    ntp += 1
-                    break
-    denom = nref + nest
-    return float(2 * ntp / denom) if denom else 0.0
+    return float(event_based_metrics(
+        predictions, targets, t_collar_ms=t_collar_ms,
+        evaluate_offset=False)["f_measure"])
+
+
+def event_based_f1(predictions, targets, t_collar_ms: float = 50.0,
+                   percentage_of_length: float = 0.2) -> float:
+    return float(event_based_metrics(
+        predictions, targets, t_collar_ms=t_collar_ms, evaluate_offset=True,
+        percentage_of_length=percentage_of_length)["f_measure"])
 
 
 # Registry mirroring the reference's available_scores (score.py:365-404).
+# Event entries are fn(predictions, targets) → the score's PRIMARY value
+# (first of its `scores` tuple: f_measure for *_fms, error_rate for
+# segment_1s_er).
 SCENE_SCORES = {
     "top1_acc": top1_accuracy,
     "pitch_acc": top1_accuracy,
@@ -226,11 +270,12 @@ EVENT_SCORES = {
     # sed_eval semantics: segment_1s_er is an ERROR RATE (lower is better)
     "segment_1s_er": segment_based_error_rate,
     "segment_1s_fms": segment_based_f1,
-    "event_onset_200ms_fms": onset_only_event_based_f1,
-    "event_onset_50ms_fms": lambda r, e: onset_only_event_based_f1(
-        r, e, t_collar_ms=50.0),
-    "event_onset_offset_50ms_20perc_fms": lambda r, e: event_based_f1(
-        r, e, t_collar_ms=50.0, percentage_of_length=0.2),
+    "event_onset_200ms_fms": lambda p, t: onset_only_event_based_f1(
+        p, t, t_collar_ms=200.0),
+    "event_onset_50ms_fms": lambda p, t: onset_only_event_based_f1(
+        p, t, t_collar_ms=50.0),
+    "event_onset_offset_50ms_20perc_fms": lambda p, t: event_based_f1(
+        p, t, t_collar_ms=50.0, percentage_of_length=0.2),
 }
 
 # metrics where smaller values win (selection/aggregation direction)

@@ -54,14 +54,13 @@ def test_event_extraction_and_f1():
     a = [e for e in events if e["label"] == "A"][0]
     assert a["start"] <= 400 and a["end"] >= 700
 
-    ref = [dict(a, filename="f.wav")]
-    est = [dict(a, filename="f.wav")]
-    assert score_lib.segment_based_f1(ref, est) == 1.0
-    assert score_lib.event_based_f1(ref, est) == 1.0
-    assert score_lib.onset_only_event_based_f1(ref, est) == 1.0
-    shifted = [dict(a, filename="f.wav", start=a["start"] + 500,
-                    end=a["end"] + 500)]
-    assert score_lib.onset_only_event_based_f1(ref, shifted) == 0.0
+    ref = {"f.wav": [a]}
+    est = {"f.wav": [a]}
+    assert score_lib.segment_based_f1(est, ref) == pytest.approx(1.0)
+    assert score_lib.event_based_f1(est, ref) == pytest.approx(1.0)
+    assert score_lib.onset_only_event_based_f1(est, ref) == pytest.approx(1.0)
+    shifted = {"f.wav": [dict(a, start=a["start"] + 500, end=a["end"] + 500)]}
+    assert score_lib.onset_only_event_based_f1(shifted, ref) == 0.0
 
 
 def _write_wav(path, seconds, sr, seed):
@@ -232,17 +231,114 @@ def test_hear_audiomae_embedder_route(hear_task_dir, tmp_path):
 
 
 def test_segment_error_rate_semantics():
-    ref = [{"filename": "f", "label": "A", "start": 0, "end": 2000}]
+    ref = {"f": [{"label": "A", "start": 0, "end": 2000}]}
     # perfect prediction → ER 0
-    assert score_lib.segment_based_error_rate(ref, ref) == 0.0
+    assert score_lib.segment_based_error_rate(ref, ref) == pytest.approx(0.0)
     # miss entirely → 2 deletions / 2 active segments = 1.0
-    assert score_lib.segment_based_error_rate(ref, []) == 1.0
+    assert score_lib.segment_based_error_rate({"f": []}, ref) == pytest.approx(1.0)
     # spurious extra class in both segments → 2 insertions / 2 = +1.0
-    est = ref + [{"filename": "f", "label": "B", "start": 0, "end": 2000}]
-    assert score_lib.segment_based_error_rate(ref, est) == 1.0
+    est = {"f": ref["f"] + [{"label": "B", "start": 0, "end": 2000}]}
+    assert score_lib.segment_based_error_rate(est, ref) == pytest.approx(1.0)
     # registry direction
     assert "segment_1s_er" in score_lib.LOWER_IS_BETTER
     assert score_lib.EVENT_SCORES["segment_1s_er"] is score_lib.segment_based_error_rate
+
+
+def test_segment_metrics_sed_eval_exact():
+    """Hand-computed sed_eval SegmentBasedMetrics fixtures: trailing
+    silence, empty predictions, target-only files, boundary events."""
+    # trailing silence: grid = ceil(max offset/1s) = 2 segments, NOT the
+    # (longer) file duration — sed_eval defaults evaluated_length to the
+    # max offset over both event lists
+    ref = {"a": [{"label": "A", "start": 0.0, "end": 2000.0}]}
+    est = {"a": [{"label": "A", "start": 0.0, "end": 1000.0}]}
+    m = score_lib.segment_based_metrics(est, ref)
+    assert m["precision"] == pytest.approx(1.0)
+    assert m["recall"] == pytest.approx(0.5)
+    assert m["f_measure"] == pytest.approx(2 / 3)
+    assert m["error_rate"] == pytest.approx(0.5)  # 1 deletion / 2 ref segs
+
+    # empty predictions for a file STILL evaluate its reference events
+    m = score_lib.segment_based_metrics({"a": []}, ref)
+    assert m["f_measure"] == pytest.approx(0.0)
+    assert m["error_rate"] == pytest.approx(1.0)
+
+    # files present only in targets are NEVER evaluated (the reference
+    # iterates prediction filenames, score.py:224-228)
+    ref2 = dict(ref, b=[{"label": "A", "start": 0.0, "end": 60000.0}])
+    m_skip = score_lib.segment_based_metrics(est, ref2)
+    assert m_skip == score_lib.segment_based_metrics(est, ref)
+
+    # zero-length event on a segment boundary marks nothing
+    # (roll[floor(t/res):ceil(t/res)] is empty when floor == ceil)
+    zref = {"z": [{"label": "A", "start": 1000.0, "end": 1000.0}]}
+    m = score_lib.segment_based_metrics(zref, zref)
+    assert m["f_measure"] == pytest.approx(0.0)
+    assert m["error_rate"] == pytest.approx(0.0)
+
+    # false alarms with an empty reference: ER divides by (Nref + eps),
+    # like sed_eval — enormous, not inf
+    m = score_lib.segment_based_metrics(est, {"a": []})
+    assert np.isfinite(m["error_rate"]) and m["error_rate"] > 1e10
+
+
+def test_event_matching_is_optimal_not_greedy():
+    """sed_eval matches hits via maximum bipartite matching: r1 can yield
+    its both-compatible estimate to r2 so both match."""
+    ref = {"f": [{"label": "A", "start": 0.0, "end": 500.0},
+                 {"label": "A", "start": 80.0, "end": 600.0}]}
+    # e1 within 50ms collar of BOTH refs, e2 only of r1; greedy r1→e1
+    # leaves r2 unmatched (F=0.5); optimal r1→e2, r2→e1 gives F=1.0
+    est = {"f": [{"label": "A", "start": 40.0, "end": 500.0},
+                 {"label": "A", "start": 10.0, "end": 500.0}]}
+    f = score_lib.onset_only_event_based_f1(est, ref, t_collar_ms=50.0)
+    assert f == pytest.approx(1.0)
+
+
+def test_event_offset_condition():
+    """Offset tolerance = max(collar, percentage_of_length · ref length)."""
+    ref = {"f": [{"label": "A", "start": 0.0, "end": 1000.0}]}
+    # offset off by 150ms: collar 50ms but 20% of 1000ms = 200ms → match
+    est = {"f": [{"label": "A", "start": 0.0, "end": 1150.0}]}
+    assert score_lib.event_based_f1(est, ref, t_collar_ms=50.0,
+                                    percentage_of_length=0.2) == pytest.approx(1.0)
+    # offset off by 250ms > 200ms tolerance → no match
+    est = {"f": [{"label": "A", "start": 0.0, "end": 1250.0}]}
+    assert score_lib.event_based_f1(est, ref, t_collar_ms=50.0,
+                                    percentage_of_length=0.2) == 0.0
+
+
+def test_postprocess_selection_hand_computed(monkeypatch):
+    """Per-epoch postprocess selection pins the reference protocol
+    (task_predictions.py:471-516): grid swept on validation predictions,
+    primary score decides, ties break on the larger postprocessing tuple
+    (sort(reverse=True))."""
+    from cacophony_tpu.hear import predictions as P
+
+    monkeypatch.setattr(P, "EVENT_POSTPROCESSING_GRID",
+                        {"median_filter_ms": [50], "min_duration": [100, 300]})
+    # 100ms frames → median ksize = max(1, round(50/100)) = 1 (no-op);
+    # active frames at 200..400ms → event (200, 400), duration 200:
+    # kept by min_duration=100, dropped by 300
+    ts = [float(t) for t in range(0, 1000, 100)]
+    fname_ts = [["clip.wav", t] for t in ts]
+    probs = np.zeros((len(ts), 1), np.float32)
+    probs[2:5, 0] = 0.9
+    metadata = {"evaluation": ["event_onset_200ms_fms"],
+                "embedding_type": "event"}
+    targets = {"clip.wav": [{"label": "A", "start": 200.0, "end": 400.0}]}
+    score, post = P._select_event_postprocess(
+        probs, metadata, targets, fname_ts, {0: "A"})
+    assert score == pytest.approx(1.0)
+    assert post == {"median_filter_ms": 50, "min_duration": 100}
+
+    # tie-break: both configs keep the event → larger tuple wins
+    monkeypatch.setattr(P, "EVENT_POSTPROCESSING_GRID",
+                        {"median_filter_ms": [50], "min_duration": [100, 150]})
+    score, post = P._select_event_postprocess(
+        probs, metadata, targets, fname_ts, {0: "A"})
+    assert score == pytest.approx(1.0)
+    assert post["min_duration"] == 150
 
 
 def test_tokenizer_underscore():
