@@ -2,12 +2,15 @@
 
 Measures the full device-side pipeline (waveform buffer → log-mel →
 patchify → 85M audio encoder → pooled embedding) at steady state on the
-default backend (the real TPU chip under the driver).
+default backend (the real TPU chip under the driver), plus KV-cached AR
+decode throughput and MFU (counted matmul FLOPs ÷ time ÷ bf16 device peak).
 
 vs_baseline = TPU clips/s ÷ CPU fp32 single-clip clips/s — the
 BASELINE.json north-star ratio (target ≥ 5×).  The CPU baseline is measured
-in-process when a CPU backend is available alongside the accelerator, else
-a stored measurement of this box is used.
+in-process when a CPU backend is available alongside the accelerator and
+persisted to bench_baseline.json; when it can't be measured the persisted
+value is used and the JSON self-describes which via `baseline_source`.
+A run with neither fails loudly rather than fabricating a denominator.
 
 NOTE (axon relay): block_until_ready() is a no-op — every timed iteration
 fetches a scalar to force execution; first uncached compile of the 85M
@@ -18,6 +21,7 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -38,14 +42,16 @@ import jax.numpy as jnp
 
 from cacophony_tpu.configs import FrontendConfig, PatchConfig, caco_base
 from cacophony_tpu.frontend import wav_to_patches
-from cacophony_tpu.models.caco import caco_init, get_audio_embedding
+from cacophony_tpu.models.caco import caco_init, decode, get_audio_embedding
+from cacophony_tpu.utils.flops import device_peak_flops, pipeline_matmul_flops
 
-# Measured on this host (85M encoder, fp32, batch-1 10-s clip, CPU):
-# fallback if no CPU backend can be initialized alongside the TPU.
-_FALLBACK_CPU_CLIPS_PER_S = 1.0
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
 
 BATCH = 128  # bf16 sweep on v5e: B=32→514, B=64→648, B=128→795 clips/s
 ITERS = 8
+DECODE_STREAMS = 16
+DECODE_LEN = 64
 
 
 def _pipeline(cfg, front, patch):
@@ -81,27 +87,103 @@ def _throughput(device, batch_size, iters, warmup=2, bf16=False):
         for _ in range(iters):
             float(fwd(params, bufs, lens)[0, 0])
         dt = time.perf_counter() - t0
+        del params
     return batch_size * iters / dt
+
+
+def _decode_throughput(device, num_streams, max_length, bf16=True):
+    """KV-cached AR decode tokens/s (reference loop src/caco/caco.py:154-230).
+
+    Random weights at temperature 1.0 over a 50k vocab never hit EOS, so
+    every stream decodes the full budget: tokens = streams × (max_length-1).
+    """
+    cfg = caco_base()
+    if bf16:
+        cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    front, patch = FrontendConfig(), PatchConfig(patches_seq_len=500)
+
+    @jax.jit
+    def prep(bufs, lens):
+        return jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(bufs, lens)
+
+    @jax.jit
+    def run(params, batch, rng):
+        return decode(params, cfg, batch, max_length=max_length, temperature=1.0,
+                      bos_id=0, eos_id=2, pad_id=1, rng=rng)
+
+    with jax.default_device(device):
+        params = jax.jit(lambda: caco_init(jax.random.PRNGKey(0), cfg))()
+        rng = np.random.RandomState(0)
+        bufs = jnp.asarray(rng.randn(num_streams, 160_000).astype(np.float32) * 0.1)
+        lens = jnp.full((num_streams,), 160_000, jnp.int32)
+        batch = prep(bufs, lens)
+
+        int(run(params, batch, jax.random.PRNGKey(0))[0, -1])  # warmup + fetch
+        t0 = time.perf_counter()
+        trials = 3
+        for i in range(trials):
+            int(run(params, batch, jax.random.PRNGKey(i + 1))[0, -1])
+        dt = time.perf_counter() - t0
+    return num_streams * (max_length - 1) * trials / dt
+
+
+def _load_stored_baseline():
+    with open(BASELINE_FILE) as f:
+        stored = json.load(f)
+    return float(stored["cpu_fp32_b1_clips_per_s"]), f"stored:{stored.get('measured', '?')}"
+
+
+def _store_baseline(clips_per_s):
+    try:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({
+                "cpu_fp32_b1_clips_per_s": round(clips_per_s, 4),
+                "measured": time.strftime("%Y-%m-%d"),
+                "config": "85M encoder pipeline, fp32, batch-1 10-s clip, host CPU",
+            }, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stored copy stays as committed
 
 
 def main():
     accel = jax.devices()[0]
     tpu_clips = _throughput(accel, BATCH, ITERS, bf16=True)
+    decode_tps = _decode_throughput(accel, DECODE_STREAMS, DECODE_LEN)
 
-    cpu_clips = None
+    cpu_clips, baseline_source = None, None
     try:
         cpu = jax.devices("cpu")[0]
         if cpu.platform != accel.platform:
             cpu_clips = _throughput(cpu, 1, 3, warmup=1)
+            baseline_source = "measured_cpu"
+            _store_baseline(cpu_clips)
     except Exception:
-        pass
-    baseline = cpu_clips if cpu_clips else _FALLBACK_CPU_CLIPS_PER_S
+        cpu_clips = None
+    if cpu_clips is None:
+        # No in-process CPU probe — use the persisted measurement of this
+        # box, or fail loudly rather than fabricate the denominator.
+        cpu_clips, baseline_source = _load_stored_baseline()
+
+    flops_per_clip = pipeline_matmul_flops(
+        caco_base(), FrontendConfig(), PatchConfig(patches_seq_len=500), 160_000)
+    achieved = tpu_clips * flops_per_clip
+    peak = device_peak_flops(accel.device_kind)
 
     print(json.dumps({
         "metric": "10s_clips_embedded_per_sec_per_chip",
         "value": round(tpu_clips, 2),
         "unit": "clips/s",
-        "vs_baseline": round(tpu_clips / baseline, 2),
+        "vs_baseline": round(tpu_clips / cpu_clips, 2),
+        "baseline_clips_per_s": round(cpu_clips, 4),
+        "baseline_source": baseline_source,
+        "batch": BATCH,
+        "dtype": "bfloat16",
+        "device": accel.device_kind,
+        "model_tflops_per_s": round(achieved / 1e12, 2),
+        "mfu": round(achieved / peak, 4) if peak else None,
+        "decode_tokens_per_s": round(decode_tps, 1),
+        "decode_streams": DECODE_STREAMS,
     }))
 
 

@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default=None)
     p.add_argument("--output_json", default=None,
                    help="write task results to this JSON file")
+    p.add_argument("--expect", default=None, metavar="GOLDEN_JSON",
+                   help="golden-number regression gate: compare results to "
+                        "this goldens file (see eval/goldens/) and exit "
+                        "nonzero on drift")
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler trace of the run (XProf)")
     p.add_argument("--no_strict_counts", action="store_true",
@@ -97,6 +101,10 @@ def _run(args):
                                               split=args.split or "",
                                               text_prefix=prefix)
         _write_json(args.output_json, {"task": "zs", "top1_accuracy": results})
+        if args.expect:
+            from cacophony_tpu.eval.expect import enforce_expectations
+
+            enforce_expectations(results, args.expect)
         return results
 
     name = args.dataset or "clotho"
@@ -115,6 +123,10 @@ def _run(args):
         results = audio_retrieval(engine, proc, split=split)
         _write_json(args.output_json,
                     {"task": "ar", "dataset": name, "results": results})
+        if args.expect:
+            from cacophony_tpu.eval.expect import enforce_expectations
+
+            enforce_expectations(results, args.expect)
         return results
     preds, gts = audio_captioning(engine, proc, split=split,
                                   output_dir=args.output_dir)
