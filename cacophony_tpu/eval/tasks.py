@@ -25,8 +25,12 @@ TUT_ZS_PREFIX = "This is a sound on "      # reference eval_caco.py:333
 
 
 def _load_dataset_audio(processor: DatasetProcessor, filepaths: Sequence[str]):
+    """Lazy per-file decode generator: the engine consumes it in bounded
+    buckets, so a VGGSound-scale run (12,722 clips at 48 kHz — multiple GB
+    if materialized) keeps peak host RAM at O(batch) like the reference's
+    per-file loop (eval_caco.py:195-221)."""
     sr = processor.config.sampling_rate
-    return [load_audio(p, expected_sr=sr) for p in filepaths]
+    return (load_audio(p, expected_sr=sr) for p in filepaths)
 
 
 def zs_classification(
@@ -47,10 +51,10 @@ def zs_classification(
 
     with timer.stage("text_embed"):
         text_emb = engine.embed_texts([text_prefix + c for c in class_labels])
-    with timer.stage("host_decode"):
-        wavs = _load_dataset_audio(processor, filepaths)
-    with timer.stage("audio_embed"):
-        audio_emb = engine.embed_audio(wavs)
+    with timer.stage("decode_embed_stream"):
+        # host decode streams through the engine's bounded bucket window —
+        # decode of bucket k+1 overlaps device compute of bucket k
+        audio_emb = engine.embed_audio(_load_dataset_audio(processor, filepaths))
     with timer.stage("score"):
         logits = engine.score(audio_emb, text_emb)
     pred = logits.argmax(axis=-1)
@@ -93,8 +97,7 @@ def audio_retrieval(
             gt_text_audio[c] = name
             all_text.append(c)
 
-    wavs = _load_dataset_audio(processor, filepaths)
-    audio_emb = engine.embed_audio(wavs)
+    audio_emb = engine.embed_audio(_load_dataset_audio(processor, filepaths))
     text_emb = engine.embed_texts(all_text)
 
     # similarity (text, audio); logit scale is rank-irrelevant but kept for
@@ -130,11 +133,13 @@ def audio_captioning(
     """Caption every clip; write predictions.csv/gt.csv in the reference's
     format when output_dir is given (eval_caco.py:296-306)."""
     filepaths, descriptions, _ = processor.get_filepaths_and_descriptions(split)
-    wavs = _load_dataset_audio(processor, filepaths)
+    sr = processor.config.sampling_rate
 
     preds: List[str] = []
-    for i in range(0, len(wavs), engine.batch_size):
-        chunk = wavs[i:i + engine.batch_size]
+    for i in range(0, len(filepaths), engine.batch_size):
+        # decode one engine bucket of files at a time (bounded host RAM)
+        chunk = [load_audio(p, expected_sr=sr)
+                 for p in filepaths[i:i + engine.batch_size]]
         preds.extend(engine.caption(chunk, max_length=max_length,
                                     temperature=temperature, seed=seed + i))
     preds = [p.strip() for p in preds]

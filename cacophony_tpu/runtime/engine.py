@@ -16,7 +16,7 @@ eval_caco.py:85-95) with:
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import Iterable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -154,6 +154,31 @@ class CacoEngine:
             lens[i] = k
         return bufs, lens, n
 
+    def _bucket_iter(self, wavs: Iterable[np.ndarray]):
+        """Consume any iterable of waveforms lazily, one engine bucket
+        (batch_size clips, zero-padded + lengths) at a time.  Only one
+        bucket of host audio is alive per step — datasets never materialize
+        in RAM (the reference streams per file, eval_caco.py:195-221; a
+        12,722-clip VGGSound run at 48 kHz would otherwise peak at
+        multiple GB)."""
+        it = iter(wavs)
+        while True:
+            bufs = np.zeros((self.batch_size, self.buffer_samples), np.float32)
+            lens = np.zeros((self.batch_size,), np.int32)
+            count = 0
+            for w in it:
+                k = min(len(w), self.buffer_samples)
+                bufs[count, :k] = np.asarray(w, np.float32)[:k]
+                lens[count] = k
+                count += 1
+                if count == self.batch_size:
+                    break
+            if count == 0:
+                return
+            yield bufs, lens, count
+            if count < self.batch_size:
+                return
+
     def _device(self, tree):
         if self.mesh is not None:
             return shard_batch(tree, self.mesh)
@@ -161,22 +186,25 @@ class CacoEngine:
 
     # -------------------------------------------------------------- public
 
-    def embed_audio(self, wavs: Sequence[np.ndarray]) -> np.ndarray:
-        """16 kHz fp32 waveforms → L2-normalized embeddings (n, proj)."""
-        bufs, lens, n = self._buffers(wavs)
-        # Bounded dispatch window: keep a few buckets in flight so host prep
-        # overlaps device compute without queueing O(dataset) input buffers
-        # in HBM.
+    def embed_audio(self, wavs: Iterable[np.ndarray]) -> np.ndarray:
+        """16 kHz fp32 waveforms → L2-normalized embeddings (n, proj).
+
+        Accepts any iterable — lists or generators.  Generators are consumed
+        one bucket at a time with a bounded dispatch window, so host decode
+        overlaps device compute and peak host RAM stays
+        O(window · batch_size · buffer) regardless of dataset size."""
         window = 4
-        pending, out = [], []
-        for i in range(0, len(bufs), self.batch_size):
-            chunk = self._device({"b": bufs[i:i + self.batch_size],
-                                  "l": lens[i:i + self.batch_size]})
+        pending, out, total = [], [], 0
+        for bufs, lens, count in self._bucket_iter(wavs):
+            total += count
+            chunk = self._device({"b": bufs, "l": lens})
             pending.append(self._audio_fn(self.params, chunk["b"], chunk["l"]))
             if len(pending) > window:
                 out.append(np.asarray(pending.pop(0)))
         out.extend(np.asarray(p) for p in pending)
-        return np.concatenate(out)[:n]
+        if not out:
+            return np.zeros((0, self.cfg.projection_size), np.float32)
+        return np.concatenate(out)[:total]
 
     def audio_patch_batch(self, wavs: Sequence[np.ndarray]):
         """Device patch batch for one bucket (captioning/HEAR paths)."""
@@ -217,13 +245,17 @@ class CacoEngine:
         all content.  Short clips reduce exactly to embed_audio."""
         hop = self.buffer_samples - int(round(overlap_seconds * self.front.sample_rate))
         assert hop > 0
-        chunks, owners = [], []
-        for i, w in enumerate(wavs):
-            n = max(1, -(-max(len(w) - self.buffer_samples, 0) // hop) + 1)
-            for c in range(n):
-                chunks.append(w[c * hop: c * hop + self.buffer_samples])
-                owners.append(i)
-        emb = self.embed_audio(chunks)
+        wavs = list(wavs)  # owners index into the input; chunk VIEWS stream
+        owners = []
+
+        def chunk_iter():
+            for i, w in enumerate(wavs):
+                n = max(1, -(-max(len(w) - self.buffer_samples, 0) // hop) + 1)
+                for c in range(n):
+                    owners.append(i)
+                    yield w[c * hop: c * hop + self.buffer_samples]
+
+        emb = self.embed_audio(chunk_iter())
         out = np.zeros((len(wavs), emb.shape[1]), np.float32)
         counts = np.zeros(len(wavs))
         for e, o in zip(emb, owners):
