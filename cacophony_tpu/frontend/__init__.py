@@ -7,9 +7,17 @@ from cacophony_tpu.frontend.dsp import (
     resample_fft_host,
     stft_magnitude,
 )
+from cacophony_tpu.frontend.fused import (
+    fused_batch_wav_to_patches,
+    fused_wav_to_patch_values,
+    patch_index_arrays,
+)
 from cacophony_tpu.frontend.patchify import num_patches_for_samples, patchify_spectrogram, wav_to_patches
 
 __all__ = [
+    "fused_batch_wav_to_patches",
+    "fused_wav_to_patch_values",
+    "patch_index_arrays",
     "hann_window_periodic",
     "linear_to_mel_matrix",
     "log_mel_spectrogram",

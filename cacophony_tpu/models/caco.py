@@ -191,13 +191,14 @@ def decode_step(
     pos = jnp.full((b, 1), state.index, jnp.int32)
     _, text_hidden, new_text_cache = text_encoder_apply(
         params["text"], cfg.text, current[:, None], jnp.ones((b, 1)),
-        position_ids=pos, cache=state.text_cache, pool=False,
+        position_ids=pos, cache=state.text_cache, pool=False, dtype=cfg.dtype,
     )
     logits, new_dec_cache = caption_decoder_apply(
         params["decoder"], cfg.decoder, text_hidden, jnp.ones((b, 1)),
         None, audio_mask, cache=state.dec_cache, cross_kv=cross_kv,
+        dtype=cfg.dtype,
     )
-    logits = logits[:, 0, :]
+    logits = logits[:, 0, :].astype(jnp.float32)
 
     step_rng = jax.random.fold_in(rng, state.index)
     sampled = sample_logits(step_rng, logits, temperature=temperature,
@@ -234,10 +235,11 @@ def decode(
     audio_mask = audio_batch["audio_mask"]
     b = audio_hidden.shape[0]
 
-    cross_kv = precompute_cross_kv(params["decoder"]["blocks"], cfg.decoder, audio_hidden)
+    cross_kv = precompute_cross_kv(params["decoder"]["blocks"], cfg.decoder,
+                                   audio_hidden, dtype=cfg.dtype)
     state = DecodeState(
-        text_cache=make_kv_cache(cfg.text, b, max_length),
-        dec_cache=make_kv_cache(cfg.decoder, b, max_length),
+        text_cache=make_kv_cache(cfg.text, b, max_length, dtype=cfg.dtype),
+        dec_cache=make_kv_cache(cfg.decoder, b, max_length, dtype=cfg.dtype),
         input_ids=jnp.zeros((b, max_length), jnp.int32).at[:, 0].set(bos_id),
         index=jnp.zeros((), jnp.int32),
         is_generating=jnp.ones((b,), jnp.int32),

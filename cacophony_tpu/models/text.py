@@ -97,7 +97,10 @@ def caption_decoder_init(rng, cfg: TextConfig):
 
 
 def make_kv_cache(cfg: TextConfig, batch: int, max_length: int, dtype=jnp.float32):
-    """Stacked-per-layer functional KV cache: leaves (L, B, T, H, Dh) + index."""
+    """Stacked-per-layer functional KV cache: leaves (L, B, T, H, Dh) + index.
+
+    Serving passes dtype=bfloat16 (halves the per-step cache read, the
+    decode bandwidth floor); fp32 is the parity default."""
     shape = (cfg.num_layers, batch, max_length, cfg.num_heads, cfg.head_dim)
     return {
         "k": jnp.zeros(shape, dtype),
@@ -119,14 +122,15 @@ def _post_ln_residual(ln_p, h, residual, eps, rng, rate, det):
 def _text_block(
     p, x, cfg: TextConfig, bias, *, memory=None, memory_bias=None,
     kv_cache=None, cache_index=None, cross_kv=None, train=False, rngs=None,
+    dtype=jnp.float32,
 ):
     det = not train
     r = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
     eps = cfg.layer_norm_eps
 
-    h, new_cache = multi_head_attention(
+    h, kv_slice = multi_head_attention(
         p["attn"], x, num_heads=cfg.num_heads, bias=bias,
-        kv_cache=kv_cache, cache_index=cache_index,
+        kv_cache=kv_cache, cache_index=cache_index, dtype=dtype,
         dropout_rate=0.0 if det else cfg.attention_dropout,
         dropout_rng=r(3),
     )
@@ -135,34 +139,41 @@ def _text_block(
     if memory is not None or cross_kv is not None:
         if cross_kv is not None:
             # decode fast path: precomputed cross K/V (B, S_mem, H, Dh)
-            q = dense(p["cross"]["q"], x)
+            q = dense(p["cross"]["q"], x, dtype)
             b, s, d = q.shape
             q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
             q = q * (1.0 / jnp.sqrt(cfg.head_dim).astype(q.dtype))
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, cross_kv["k"])
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, cross_kv["k"].astype(q.dtype))
             logits = logits + memory_bias.astype(logits.dtype)
             w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(logits.dtype)
-            h = jnp.einsum("bhqk,bkhd->bqhd", w, cross_kv["v"]).reshape(b, s, d)
-            h = dense(p["cross"]["o"], h)
+            h = jnp.einsum("bhqk,bkhd->bqhd", w,
+                           cross_kv["v"].astype(q.dtype)).reshape(b, s, d)
+            h = dense(p["cross"]["o"], h, dtype)
         else:
             h, _ = multi_head_attention(
                 p["cross"], x, num_heads=cfg.num_heads, bias=memory_bias,
-                memory=memory,
+                memory=memory, dtype=dtype,
                 dropout_rate=0.0 if det else cfg.attention_dropout,
                 dropout_rng=r(4),
             )
         x = _post_ln_residual(p["ln_cross"], h, x, eps, r(1), cfg.hidden_dropout, det)
 
-    h = dense(p["mlp_in"], x)
+    h = dense(p["mlp_in"], x, dtype)
     h = jax.nn.gelu(h, approximate=False)
-    h = dense(p["mlp_out"], h)
+    h = dense(p["mlp_out"], h, dtype)
     x = _post_ln_residual(p["ln_mlp"], h, x, eps, r(2), cfg.hidden_dropout, det)
-    return x, new_cache
+    return x, kv_slice
 
 
 def _run_text_blocks(blocks, x, cfg, bias, *, memory=None, memory_bias=None,
-                     cache=None, cross_kv=None, train=False, rngs=None):
-    """lax.scan over stacked layer params (+ per-layer cache/cross-kv)."""
+                     cache=None, cross_kv=None, train=False, rngs=None,
+                     dtype=jnp.float32):
+    """lax.scan over stacked layer params (+ per-layer cache/cross-kv).
+
+    Decode mode: the per-layer cache is read-only inside the scan; layers
+    emit only their (B, 1, H, Dh) k/v slices, written into the stacked
+    cache in ONE dynamic-slice/scatter afterwards (in-place under the
+    decode while_loop's buffer aliasing — the cache is never copied)."""
     num_layers = cfg.num_layers
 
     def body(carry, xs):
@@ -171,12 +182,12 @@ def _run_text_blocks(blocks, x, cfg, bias, *, memory=None, memory_bias=None,
         layer_cache = xs[1] if cache is not None else None
         layer_cross = xs[2] if cross_kv is not None else None
         layer_rng = xs[3] if rngs is not None else None
-        x, new_c = _text_block(
+        x, kv_slice = _text_block(
             p, x, cfg, bias, memory=memory, memory_bias=memory_bias,
             kv_cache=layer_cache, cache_index=cache["index"] if cache is not None else None,
-            cross_kv=layer_cross, train=train, rngs=layer_rng,
+            cross_kv=layer_cross, train=train, rngs=layer_rng, dtype=dtype,
         )
-        return x, new_c
+        return x, kv_slice
 
     xs = (
         blocks,
@@ -194,11 +205,21 @@ def _run_text_blocks(blocks, x, cfg, bias, *, memory=None, memory_bias=None,
             full[slot] = v
         return body(carry, full)
 
-    x, new_caches = jax.lax.scan(body_packed, x, packed)
+    x, kv_slices = jax.lax.scan(body_packed, x, packed)
     new_cache = None
     if cache is not None:
-        new_cache = {"k": new_caches["k"], "v": new_caches["v"],
-                     "index": cache["index"] + 1}
+        idx = cache["index"]
+        sk = kv_slices["k"].astype(cache["k"].dtype)  # (L, B, 1, H, Dh)
+        sv = kv_slices["v"].astype(cache["v"].dtype)
+        if jnp.ndim(idx) == 0:
+            k = jax.lax.dynamic_update_slice(cache["k"], sk, (0, 0, idx, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], sv, (0, 0, idx, 0, 0))
+        else:
+            # per-sample positions (continuous batching): one scatter
+            b_ids = jnp.arange(idx.shape[0])
+            k = cache["k"].at[:, b_ids, idx].set(sk[:, :, 0])
+            v = cache["v"].at[:, b_ids, idx].set(sv[:, :, 0])
+        new_cache = {"k": k, "v": v, "index": idx + 1}
     return x, new_cache
 
 
@@ -212,13 +233,16 @@ def _causal_bias(text_mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def _decode_bias(max_length: int, index: jnp.ndarray) -> jnp.ndarray:
-    """Single-position decode: attend to cached positions ≤ index
-    (reference :252-259). index: scalar, or (B,) for per-sample positions
+    """Single-position decode over a READ-ONLY cache: valid cached positions
+    are strictly < the write index (the current token's k/v is appended
+    inside the attention op, not read from the cache — ops/attention.py).
+    Attended set = {0..index-1} ∪ {current} ≡ the reference's ≤ index over a
+    written cache (:252-259). index: scalar, or (B,) per-sample positions
     (continuous batching)."""
     if jnp.ndim(index) == 0:
-        valid = jnp.arange(max_length) <= index
+        valid = jnp.arange(max_length) < index
         return mask_to_bias(valid)[None, None, None, :]
-    valid = jnp.arange(max_length)[None, :] <= index[:, None]
+    valid = jnp.arange(max_length)[None, :] < index[:, None]
     return mask_to_bias(valid)[:, None, None, :]
 
 
@@ -245,11 +269,13 @@ def text_encoder_apply(
     train: bool = False,
     rngs: Optional[jax.Array] = None,
     pool: bool = True,
+    dtype=jnp.float32,
 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[dict]]:
     """→ (pooled (B, D) or None, hidden (B, S, D), new_cache).
 
     Full mode: causal self-attention over the padded sequence.
     Decode mode (cache given): S == 1, attends over the cache.
+    dtype: matmul compute dtype (bf16 for serving; fp32 parity default).
     """
     det = not train
     r = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
@@ -272,20 +298,23 @@ def text_encoder_apply(
         bias = _decode_bias(cache["k"].shape[2], cache["index"])
 
     x, new_cache = _run_text_blocks(params["blocks"], x, cfg, bias, cache=cache,
-                                    train=train, rngs=r(1) if rngs is not None else None)
+                                    train=train, dtype=dtype,
+                                    rngs=r(1) if rngs is not None else None)
     pooled = text_pooler_apply(params["pooler"], x, attention_mask) if pool else None
     return pooled, x, new_cache
 
 
-def precompute_cross_kv(blocks, cfg: TextConfig, memory: jnp.ndarray):
+def precompute_cross_kv(blocks, cfg: TextConfig, memory: jnp.ndarray,
+                        dtype=jnp.float32):
     """Compute every decoder layer's cross-attention K/V from the audio
     hidden states once per utterance → {'k','v': (L, B, S_mem, H, Dh)}.
 
     The reference recomputes these for every generated token
     (roberta_text_model.py:190-194 under the while_loop at caco.py:228).
+    dtype=bf16 halves the dominant per-step HBM read when serving.
     """
     def per_layer(p):
-        kv = dense(p["cross"]["kv"], memory)
+        kv = dense(p["cross"]["kv"], memory, dtype)
         k, v = jnp.split(kv, 2, axis=-1)
         b, s, d = k.shape
         shape = (b, s, cfg.num_heads, cfg.head_dim)
@@ -306,6 +335,7 @@ def caption_decoder_apply(
     cross_kv: Optional[dict] = None,
     train: bool = False,
     rngs: Optional[jax.Array] = None,
+    dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, Optional[dict]]:
     """→ (vocab logits (B, S, V), new_cache). Reference :606-627."""
     if cache is None:
@@ -318,6 +348,6 @@ def caption_decoder_apply(
         params["blocks"], text_hidden, cfg, bias,
         memory=audio_hidden if cross_kv is None else None,
         memory_bias=memory_bias, cache=cache, cross_kv=cross_kv,
-        train=train, rngs=rngs,
+        train=train, rngs=rngs, dtype=dtype,
     )
-    return dense(params["vocab_proj"], x), new_cache
+    return dense(params["vocab_proj"], x, dtype), new_cache

@@ -92,11 +92,13 @@ def multi_head_attention(
     dropout_rate: float = 0.0,                  # attention-prob dropout (train)
     dropout_rng: Optional[jax.Array] = None,
 ):
-    """Returns (out (B,S,D), new_kv_cache or None).
+    """Returns (out (B,S,D), kv_slice or None).
 
-    Decode mode (kv_cache given): S must be 1; writes k/v at cache_index and
-    attends over the first cache_index+1 cached positions (bias must already
-    encode that — see text.py).
+    Decode mode (kv_cache given): S must be 1; the cache is READ-ONLY here
+    (bias must mask positions ≥ the write index — see text._decode_bias);
+    the current token's (B, 1, H, Dh) k/v slice is returned for the caller
+    to write into the stacked cache once per step.  cache_index is unused
+    in this mode (kept for call-site symmetry).
     """
     b, s, d = x.shape
     head_dim = d // num_heads
@@ -113,22 +115,29 @@ def multi_head_attention(
     k = _split_heads(k, num_heads)
     v = _split_heads(v, num_heads)
 
-    new_cache = None
     if kv_cache is not None:
-        # Functional cache update: one-position dynamic slice write.
-        # cache_index is a scalar (lockstep decode) or (B,) per-sample
-        # positions (continuous batching).
-        idx = cache_index
-        ck = kv_cache["k"].astype(k.dtype)
-        cv = kv_cache["v"].astype(v.dtype)
-        if jnp.ndim(idx) == 0:
-            k = jax.lax.dynamic_update_slice(ck, k, (0, idx, 0, 0))
-            v = jax.lax.dynamic_update_slice(cv, v, (0, idx, 0, 0))
-        else:
-            upd = jax.vmap(lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (i, 0, 0)))
-            k = upd(ck, k, idx)
-            v = upd(cv, v, idx)
-        new_cache = {"k": k, "v": v}
+        # READ-ONLY cache decode (S == 1): attend over cached positions
+        # (bias must mask positions ≥ the write index) PLUS the current
+        # token's fresh k/v, and return that (B, 1, H, Dh) slice for the
+        # caller to scatter into the stacked cache ONCE per step.
+        # (Round-1 rewrote the full (B, T, H, Dh) cache through the layer
+        # scan's outputs every token — at 64 slots that was ~3× the cache
+        # size in HBM traffic per step and decode scaled O(B·T); measured
+        # 15.8 ms/step at B=64 on v5e.)
+        q = q * (1.0 / jnp.sqrt(head_dim).astype(q.dtype))
+        ck = kv_cache["k"].astype(q.dtype)
+        cv = kv_cache["v"].astype(q.dtype)
+        logits_past = jnp.einsum("bqhd,bkhd->bhqk", q, ck)
+        if bias is not None:
+            logits_past = logits_past + bias.astype(logits_past.dtype)
+        logits_self = jnp.einsum("bqhd,bqhd->bhq", q, k)[..., None]
+        logits = jnp.concatenate([logits_past, logits_self], axis=-1)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+        w_past, w_self = weights[..., :-1], weights[..., -1]
+        out = jnp.einsum("bhqk,bkhd->bqhd", w_past, cv)
+        out = out + v * jnp.moveaxis(w_self, 1, 2)[..., None]
+        out = out.reshape(b, s, d)
+        return dense(params["o"], out, dtype), {"k": k, "v": v}
 
     q = q * (1.0 / jnp.sqrt(head_dim).astype(q.dtype))
     if flash_mask is not None and kv_cache is None and memory is None:
@@ -148,4 +157,4 @@ def multi_head_attention(
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, s, d)
-    return dense(params["o"], out, dtype), new_cache
+    return dense(params["o"], out, dtype), None

@@ -46,10 +46,16 @@ class CacoEngine:
         max_text_len: int = 100,
         batch_size: int = 32,
         dtype=None,
+        fused_frontend: Optional[bool] = None,
     ):
         """dtype overrides cfg.dtype for serving (bf16 measured at 1.9×
         fp32 throughput with ≥0.999994 embedding cosine on this model —
-        params stay fp32; matmul compute is cast)."""
+        params stay fp32; matmul compute is cast).
+
+        fused_frontend: run wav→patches as the single Pallas kernel
+        (frontend/fused.py) instead of the XLA op chain.  Default: on for
+        TPU backends, off elsewhere (the kernel runs in interpret mode on
+        CPU — correct but slow, tests only)."""
         if dtype is not None:
             import dataclasses
 
@@ -71,16 +77,30 @@ class CacoEngine:
         self.tokenizer = tokenizer
         self.mesh = mesh
         self.params = shard_params(params, mesh) if mesh is not None else params
+        if fused_frontend is None:
+            fused_frontend = jax.default_backend() not in ("cpu",)
+        self.fused_frontend = fused_frontend
+
+    def _wav_to_patch_batch(self, bufs, lens):
+        """Batched wav→patch-dict: fused Pallas kernel or XLA chain."""
+        if self.fused_frontend:
+            from cacophony_tpu.frontend.fused import fused_batch_wav_to_patches
+
+            return fused_batch_wav_to_patches(
+                bufs, lens, self.front, self.patch,
+                interpret=jax.default_backend() == "cpu")
+        return jax.vmap(
+            lambda b, n: wav_to_patches(b, n, self.front, self.patch))(bufs, lens)
 
     # ------------------------------------------------------------ compiled
 
     @functools.cached_property
     def _audio_fn(self):
-        cfg, front, patch = self.cfg, self.front, self.patch
+        cfg = self.cfg
 
         @jax.jit
         def fn(params, bufs, lens):
-            batch = jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(bufs, lens)
+            batch = self._wav_to_patch_batch(bufs, lens)
             emb, _ = get_audio_embedding(
                 params, cfg, batch["audio_patches"], batch["audio_time_inds"],
                 batch["audio_freq_inds"], batch["audio_mask"],
@@ -91,11 +111,9 @@ class CacoEngine:
 
     @functools.cached_property
     def _patches_fn(self):
-        front, patch = self.front, self.patch
-
         @jax.jit
         def fn(bufs, lens):
-            return jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(bufs, lens)
+            return self._wav_to_patch_batch(bufs, lens)
 
         return fn
 

@@ -14,36 +14,54 @@ def params():
     return attention_init(jax.random.PRNGKey(0), 16, num_heads=2)
 
 
-def test_scalar_and_vector_cache_index_agree(params):
-    """Lockstep decode (scalar index) == per-sample indices when all samples
-    share the same position."""
-    b, t, h, dh = 3, 6, 2, 8
-    cache = {"k": jnp.zeros((b, t, h, dh)), "v": jnp.zeros((b, t, h, dh))}
-    x = jax.random.normal(jax.random.PRNGKey(1), (b, 1, 16))
-    bias = jnp.zeros((1, 1, 1, t))
+def test_decode_attention_appends_current_token(params):
+    """Read-only cache decode: output == full self-attention over
+    [cached tokens, current token], and the returned slice is the current
+    token's k/v."""
+    b, t, d = 2, 4, 16
+    rng = jax.random.PRNGKey(1)
+    seq = jax.random.normal(rng, (b, t + 1, d))
 
-    out_s, cache_s = multi_head_attention(params, x, num_heads=2, bias=bias,
-                                          kv_cache=cache,
-                                          cache_index=jnp.int32(2))
-    out_v, cache_v = multi_head_attention(params, x, num_heads=2, bias=bias,
-                                          kv_cache=cache,
-                                          cache_index=jnp.full((b,), 2, jnp.int32))
-    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_v), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(cache_s["k"]), np.asarray(cache_v["k"]),
-                               atol=1e-6)
+    # reference: full (causal-last-query) attention over the t+1 tokens
+    bias_full = jnp.zeros((1, 1, 1, t + 1))
+    out_full, _ = multi_head_attention(params, seq, num_heads=2, bias=bias_full)
+
+    # decode: cache holds tokens 0..t-1's k/v (built by a full pass), query
+    # token t arrives with a read-only cache and a strict < t bias
+    from cacophony_tpu.models.layers import dense
+
+    qkv = dense(params["qkv"], seq[:, :t])
+    _, k_c, v_c = jnp.split(qkv, 3, axis=-1)
+    cache = {"k": k_c.reshape(b, t, 2, 8), "v": v_c.reshape(b, t, 2, 8)}
+    bias_dec = jnp.zeros((1, 1, 1, t))  # all cached positions valid
+    out_dec, kv_slice = multi_head_attention(params, seq[:, t:], num_heads=2,
+                                             bias=bias_dec, kv_cache=cache,
+                                             cache_index=jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(out_dec[:, 0]),
+                               np.asarray(out_full[:, t]), atol=1e-5)
+    assert kv_slice["k"].shape == (b, 1, 2, 8)
 
 
-def test_vector_cache_index_writes_per_sample_positions(params):
-    b, t, h, dh = 2, 5, 2, 8
-    cache = {"k": jnp.zeros((b, t, h, dh)), "v": jnp.zeros((b, t, h, dh))}
-    x = jax.random.normal(jax.random.PRNGKey(2), (b, 1, 16))
-    idx = jnp.asarray([1, 3], jnp.int32)
-    _, new_cache = multi_head_attention(params, x, num_heads=2,
-                                        bias=jnp.zeros((1, 1, 1, t)),
-                                        kv_cache=cache, cache_index=idx)
-    k = np.asarray(new_cache["k"])
-    assert np.abs(k[0, 1]).sum() > 0 and np.abs(k[0, 3]).sum() == 0
-    assert np.abs(k[1, 3]).sum() > 0 and np.abs(k[1, 1]).sum() == 0
+def test_vector_cache_index_writes_per_sample_positions():
+    """The stacked cache write (models.text._run_text_blocks) lands each
+    sample's k/v at ITS OWN position when indices differ per sample."""
+    from cacophony_tpu.configs import TextConfig
+    from cacophony_tpu.models.text import make_kv_cache, text_encoder_apply, text_encoder_init
+
+    cfg = TextConfig(vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+                     intermediate_size=32, max_position_embeddings=16)
+    p = text_encoder_init(jax.random.PRNGKey(0), cfg)
+    b, t = 2, 5
+    cache = make_kv_cache(cfg, b, t)
+    cache["index"] = jnp.asarray([1, 3], jnp.int32)
+    ids = jnp.asarray([[7], [9]], jnp.int32)
+    _, _, new_cache = text_encoder_apply(
+        p, cfg, ids, jnp.ones((b, 1)), position_ids=cache["index"][:, None],
+        cache=cache, pool=False)
+    k = np.asarray(new_cache["k"])  # (L, B, T, H, Dh)
+    assert np.abs(k[0, 0, 1]).sum() > 0 and np.abs(k[0, 0, 3]).sum() == 0
+    assert np.abs(k[0, 1, 3]).sum() > 0 and np.abs(k[0, 1, 1]).sum() == 0
+    np.testing.assert_array_equal(np.asarray(new_cache["index"]), [2, 4])
 
 
 def test_cross_attention_matches_self_on_same_source():
