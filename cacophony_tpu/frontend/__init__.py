@@ -9,14 +9,14 @@ from cacophony_tpu.frontend.dsp import (
 )
 from cacophony_tpu.frontend.fused import (
     fused_batch_wav_to_patches,
-    fused_wav_to_patch_values,
+    fused_log_mel,
     patch_index_arrays,
 )
 from cacophony_tpu.frontend.patchify import num_patches_for_samples, patchify_spectrogram, wav_to_patches
 
 __all__ = [
     "fused_batch_wav_to_patches",
-    "fused_wav_to_patch_values",
+    "fused_log_mel",
     "patch_index_arrays",
     "hann_window_periodic",
     "linear_to_mel_matrix",

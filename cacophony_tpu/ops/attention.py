@@ -23,6 +23,17 @@ import jax.numpy as jnp
 
 from cacophony_tpu.models.layers import dense, dense_init
 
+# Softmax accumulation dtype for the non-flash path.  True (default) casts
+# logits to fp32 before softmax — numerically safest and the parity
+# setting.  Trace-time toggle for A/B experiments.
+SOFTMAX_FP32 = True
+
+
+def _softmax(logits):
+    if SOFTMAX_FP32:
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+    return jax.nn.softmax(logits, axis=-1)
+
 
 def attention_init(rng, d_model: int, num_heads: int, stddev=None, cross: bool = False):
     """Params: fused qkv (self) or q + fused kv (cross), plus output proj."""
@@ -132,7 +143,7 @@ def multi_head_attention(
             logits_past = logits_past + bias.astype(logits_past.dtype)
         logits_self = jnp.einsum("bqhd,bqhd->bhq", q, k)[..., None]
         logits = jnp.concatenate([logits_past, logits_self], axis=-1)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+        weights = _softmax(logits)
         w_past, w_self = weights[..., :-1], weights[..., -1]
         out = jnp.einsum("bhqk,bkhd->bqhd", w_past, cv)
         out = out + v * jnp.moveaxis(w_self, 1, 2)[..., None]
@@ -151,8 +162,8 @@ def multi_head_attention(
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
-    # Softmax in fp32 for stability under bf16 compute.
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+    # Softmax in fp32 for stability under bf16 compute (SOFTMAX_FP32).
+    weights = _softmax(logits)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)

@@ -157,7 +157,7 @@ def test_gallery_index_incremental_and_topk(rng):
     g = GalleryIndex(dim, logit_scale=2.0, slab=8)
     g.add(emb[:5], labels=[f"a{i}" for i in range(5)])
     g.add(emb[5:], labels=[f"a{i}" for i in range(5, 20)])
-    assert g.size == 20 and g.capacity == 24  # grown in slabs of 8
+    assert g.size == 20 and g.capacity == 32  # doubling growth: 8→16→32
 
     scores, idx, labels = g.search(emb[:3], k=4)
     assert scores.shape == (3, 4)

@@ -65,6 +65,20 @@ def test_fused_masks_short_clips_exactly():
     assert np.asarray(got["audio_mask"][2]).sum() == 0
 
 
+def test_fast_dft_within_golden_tolerance():
+    """bf16x3 DFT (3-pass) stays within the frontend golden tolerance
+    (2e-4 on log-mel) of the exact path."""
+    from cacophony_tpu.frontend.fused import buffer_to_rows, fused_log_mel
+
+    front = FrontendConfig()
+    rng = np.random.RandomState(3)
+    bufs = jnp.asarray(rng.randn(2, 32_000).astype(np.float32) * 0.3)
+    rows = buffer_to_rows(bufs, 200, front)
+    exact = fused_log_mel(rows, front, 200, interpret=True, fast_dft=False)
+    fast = fused_log_mel(rows, front, 200, interpret=True, fast_dft=True)
+    np.testing.assert_allclose(fast, exact, atol=2e-4)
+
+
 def test_buffer_to_rows_layout():
     front = FrontendConfig()
     bufs = jnp.arange(2 * 1600, dtype=jnp.float32).reshape(2, 1600)
