@@ -12,10 +12,13 @@ persisted to bench_baseline.json; when it can't be measured the persisted
 value is used and the JSON self-describes which via `baseline_source`.
 A run with neither fails loudly rather than fabricating a denominator.
 
-NOTE (axon relay): block_until_ready() is a no-op — every timed iteration
-fetches a scalar to force execution; first uncached compile of the 85M
-model takes ~5 min through the remote compile helper, so the persistent
-compilation cache is enabled.
+NOTE (axon relay): block_until_ready() is a no-op, and a host fetch costs
+~26 ms of tunnel latency.  Timing therefore dispatches ALL iterations
+asynchronously and fetches once at the end — the steady-state serving
+methodology (embed_audio keeps a bounded window of batches in flight the
+same way; per-iteration fetches under-reported throughput by ~20%).
+First uncached compile of the 85M model takes ~5 min through the remote
+compile helper, so the persistent compilation cache is enabled.
 
 Prints ONE JSON line.
 """
@@ -72,6 +75,11 @@ def _throughput(device, batch_size, iters, warmup=2, bf16=False):
     cfg = caco_base()
     if bf16:
         cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    else:
+        # fp32 CPU baseline config: the Pallas encoder-attention kernel is
+        # TPU-only (and jax.default_backend() can't see jax.default_device)
+        cfg = dataclasses.replace(
+            cfg, audio=dataclasses.replace(cfg.audio, flash_attention=False))
     front, patch = FrontendConfig(), PatchConfig(patches_seq_len=500)
     fwd = jax.jit(_pipeline(cfg, front, patch))
 
@@ -84,8 +92,10 @@ def _throughput(device, batch_size, iters, warmup=2, bf16=False):
         for _ in range(warmup):
             float(fwd(params, bufs, lens)[0, 0])  # fetch forces execution
         t0 = time.perf_counter()
+        out = None
         for _ in range(iters):
-            float(fwd(params, bufs, lens)[0, 0])
+            out = fwd(params, bufs, lens)  # async dispatch; device queues
+        float(out[0, 0])                   # one sync at the end
         dt = time.perf_counter() - t0
         del params
     return batch_size * iters / dt
@@ -121,8 +131,9 @@ def _decode_throughput(device, num_streams, max_length, bf16=True):
         int(run(params, batch, jax.random.PRNGKey(0))[0, -1])  # warmup + fetch
         t0 = time.perf_counter()
         trials = 3
-        for i in range(trials):
-            int(run(params, batch, jax.random.PRNGKey(i + 1))[0, -1])
+        outs = [run(params, batch, jax.random.PRNGKey(i + 1))
+                for i in range(trials)]           # async dispatches
+        int(outs[-1][0, -1])                       # one sync at the end
         dt = time.perf_counter() - t0
     return num_streams * (max_length - 1) * trials / dt
 

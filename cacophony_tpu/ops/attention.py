@@ -55,38 +55,12 @@ def _split_heads(x, num_heads):
     return x.reshape(b, s, num_heads, d // num_heads)
 
 
-def flash_self_attention(
-    q: jnp.ndarray,  # (B, S, H, Dh)
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    mask: jnp.ndarray,  # (B, S) 1 = valid (key-side padding mask)
-    *,
-    causal: bool = False,
-) -> jnp.ndarray:
-    """Fused Pallas flash attention (TPU): O(S) HBM instead of materializing
-    the (B, H, S, S) logits.  Padding is expressed as segment ids (pad
-    tokens live in segment 0, valid in segment 1), which reproduces the
-    key-side additive-bias masking exactly for valid queries; padded
-    queries' outputs are garbage either way and masked downstream.
-    Sequences are padded to a multiple of 512 for the kernel's block sizes.
-    """
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        SegmentIds,
-        flash_attention,
-    )
-
-    b, s, h, d = q.shape
-    s_pad = -(-s // 512) * 512
-    pad = [(0, 0), (0, s_pad - s), (0, 0), (0, 0)]
-    qt = jnp.pad(q, pad).transpose(0, 2, 1, 3)
-    kt = jnp.pad(k, pad).transpose(0, 2, 1, 3)
-    vt = jnp.pad(v, pad).transpose(0, 2, 1, 3)
-    seg = jnp.pad((mask > 0).astype(jnp.int32), [(0, 0), (0, s_pad - s)])
-    out = flash_attention(
-        qt, kt, vt, segment_ids=SegmentIds(q=seg, kv=seg), causal=causal,
-        sm_scale=1.0,  # q is pre-scaled by the caller
-    )
-    return out.transpose(0, 2, 1, 3)[:, :s]
+# NOTE: round-1 shipped the generic pallas-ops flash_attention here; it
+# lost to XLA's fused einsum chain at these shapes in every same-session
+# A/B (block-size sweep 470→707 vs einsum 777 clips/s; re-measured round-2
+# with amortized fetches: 538 vs 969).  Deleted in favor of the bespoke
+# one-shot VMEM kernel in ops/encoder_attention.py (seq 500 / head_dim 96
+# fits on-chip; streaming machinery was pure overhead).
 
 
 def multi_head_attention(
@@ -116,6 +90,20 @@ def multi_head_attention(
 
     if memory is None:
         qkv = dense(params["qkv"], x, dtype)
+        inside_shard_map = bool(getattr(jax.typeof(qkv), "vma", None))
+        if (flash_mask is not None and kv_cache is None
+                and dropout_rate == 0.0 and not inside_shard_map):
+            # bespoke one-shot VMEM attention kernel (encoder shapes): the
+            # fused-QKV block goes straight in — no head split, no layout
+            # copies, no HBM logits.  Scaling/masking/softmax in-kernel.
+            # Under shard_map's manual axes the einsum path runs instead
+            # (interpret-mode pallas trips vma checks there; the compiled
+            # kernel per-shard is future work — see ROADMAP).
+            from cacophony_tpu.ops.encoder_attention import encoder_attention
+
+            out = encoder_attention(qkv, flash_mask, num_heads,
+                                    jax.default_backend() == "cpu")
+            return dense(params["o"], out, dtype), None
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
         q = dense(params["q"], x, dtype)
@@ -151,14 +139,14 @@ def multi_head_attention(
         return dense(params["o"], out, dtype), {"k": k, "v": v}
 
     q = q * (1.0 / jnp.sqrt(head_dim).astype(q.dtype))
-    if flash_mask is not None and kv_cache is None and memory is None:
-        out = flash_self_attention(q, k, v, flash_mask)
-        return dense(params["o"], out.reshape(b, s, d), dtype), None
-
     # NOTE: measured on v5e (same-session interleaved A/B, B=128 seq 500
     # bf16): this einsum+fp32-softmax formulation ≈ 795 clips/s vs
     # jax.nn.dot_product_attention ≈ 755 — XLA already fuses this chain;
     # the "fused" primitive is slightly slower here and numerically looser.
+    if bias is None and flash_mask is not None:
+        # kernel path declined (e.g. attention dropout in training):
+        # reconstruct the key-side additive bias from the mask
+        bias = jnp.where(flash_mask[:, None, None, :] > 0, 0.0, -1e30)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)

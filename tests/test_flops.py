@@ -32,7 +32,8 @@ def test_encoder_flops_match_xla_cost_analysis():
     num_layers=1 because XLA's cost analysis counts a lax.scan body once."""
     cfg = AudioEncoderConfig(hidden_size=64, num_layers=1, num_heads=2,
                              intermediate_size=128, patch_size=256,
-                             num_freq_patches=8)
+                             num_freq_patches=8,
+                             flash_attention=False)  # XLA counts einsum ops
     seq, b = 64, 2
     from cacophony_tpu.models.audio import audio_encoder_apply, audio_encoder_init
 
