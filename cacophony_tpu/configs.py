@@ -110,6 +110,9 @@ class AudioDecoderConfig:
     num_freq_patches: int = 8
     dropout_rate: float = 0.0
     drop_path_rate: float = 0.0
+    # same bespoke VMEM attention kernel as the encoder (key-side mask,
+    # full bidirectional attention — identical pattern)
+    flash_attention: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -183,10 +183,13 @@ def audio_decoder_apply(
 
     x = jnp.concatenate([x, xm], axis=1)
     full_mask = jnp.concatenate([mask, restore_mask], axis=1)
-    bias = mask_to_bias(full_mask)[:, None, None, :]
+    if getattr(cfg, "flash_attention", False):
+        bias, flash_mask = None, full_mask
+    else:
+        bias, flash_mask = mask_to_bias(full_mask)[:, None, None, :], None
     x = _run_blocks(params["blocks"], x, bias, num_heads=cfg.num_heads,
                     dropout_rate=cfg.dropout_rate, drop_path_rate=cfg.drop_path_rate,
-                    dtype=dtype, train=train, rngs=rngs)
+                    dtype=dtype, train=train, rngs=rngs, flash_mask=flash_mask)
     x = layer_norm(params["ln_f"], x, LN_EPS)
     return dense(params["out_proj"], x, dtype)
 

@@ -89,21 +89,39 @@ def multi_head_attention(
     head_dim = d // num_heads
 
     if memory is None:
-        qkv = dense(params["qkv"], x, dtype)
-        inside_shard_map = bool(getattr(jax.typeof(qkv), "vma", None))
-        if (flash_mask is not None and kv_cache is None
-                and dropout_rate == 0.0 and not inside_shard_map):
-            # bespoke one-shot VMEM attention kernel (encoder shapes): the
-            # fused-QKV block goes straight in — no head split, no layout
-            # copies, no HBM logits.  Scaling/masking/softmax in-kernel.
-            # Under shard_map's manual axes the einsum path runs instead
-            # (interpret-mode pallas trips vma checks there; the compiled
-            # kernel per-shard is future work — see ROADMAP).
-            from cacophony_tpu.ops.encoder_attention import encoder_attention
+        from cacophony_tpu.ops.encoder_attention import (
+            encoder_attention,
+            encoder_attention_blocked,
+            kernel_plan,
+        )
 
-            out = encoder_attention(qkv, flash_mask, num_heads,
-                                    jax.default_backend() == "cpu")
+        inside_shard_map = bool(getattr(jax.typeof(x), "vma", None))
+        compute_dtype = dtype if dtype is not None else x.dtype
+        plan = kernel_plan(s, d, compute_dtype)
+        use_kernel = (flash_mask is not None and kv_cache is None
+                      and dropout_rate == 0.0 and not inside_shard_map
+                      and plan is not None)
+        interp = jax.default_backend() == "cpu"
+        # Bespoke VMEM attention kernel (encoder shapes): no head split,
+        # no layout copies, no HBM logits; scaling/masking/softmax
+        # in-kernel.  Under shard_map's manual axes the einsum path runs
+        # instead (interpret-mode pallas trips vma checks there; the
+        # compiled kernel per-shard is future work — see ROADMAP).
+        if use_kernel and plan[0] == "one_shot":
+            qkv = dense(params["qkv"], x, dtype)
+            out = encoder_attention(qkv, flash_mask, num_heads, interp)
             return dense(params["o"], out, dtype), None
+        if use_kernel and plan[0] == "blocked":
+            # long-seq plan wants SEPARATE Q and K|V operands (the fused
+            # block double-buffered busts VMEM): split the fused weight —
+            # same FLOPs, two matmuls, no activation copies
+            w, bias_p = params["qkv"]["w"], params["qkv"]["b"]
+            q_out = dense({"w": w[:, :d], "b": bias_p[:d]}, x, dtype)
+            kv_out = dense({"w": w[:, d:], "b": bias_p[d:]}, x, dtype)
+            out = encoder_attention_blocked(q_out, kv_out, flash_mask,
+                                            num_heads, interp)
+            return dense(params["o"], out, dtype), None
+        qkv = dense(params["qkv"], x, dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
         q = dense(params["q"], x, dtype)

@@ -30,22 +30,65 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# VMEM budget per grid step.  Pallas DOUBLE-BUFFERS every pipelined block
+# (next grid row prefetches while the current computes), so block bytes
+# count twice; the fp32 logits tile and softmax temporaries count once.
+VMEM_BUDGET_BYTES = 15 * 1024 * 1024
 
-def _kernel(num_heads: int, head_dim: int, qkv_ref, mask_ref, out_ref):
-    s = qkv_ref.shape[1]
+
+def kernel_plan(seq: int, d_model: int, dtype):
+    """→ execution plan for the kernel, or None → XLA einsum path.
+
+    ("one_shot", seq, seq): fused-QKV block in, whole (S, S) logits tile
+    in VMEM — the 10 s / seq-500 budget (whole-array blocks also bypass
+    Mosaic's divisible-by-8 block rule, so no padding).
+
+    ("blocked", padded_seq, q_block): longer budgets (30 s / seq-1500)
+    stream 8-divisible q-blocks over a padded sequence with the row's K|V
+    block resident across its q-blocks; Q and KV arrive as SEPARATE
+    operands (the fused-QKV block double-buffered would alone bust VMEM —
+    measured 19.7M > 16M at seq 1536).  Padded keys are masked out, padded
+    query rows sliced away."""
+    esize = jnp.dtype(dtype).itemsize
+
+    def one_shot_fits(s):
+        blocks = s * 3 * d_model * esize + s * d_model * esize
+        return 2 * blocks + s * s * 4 + s * s * esize <= VMEM_BUDGET_BYTES
+
+    def blocked_fits(s_pad, qb):
+        blocks = (s_pad * 2 * d_model * esize     # K|V row block
+                  + 2 * qb * d_model * esize)     # Q block + out block
+        return 2 * blocks + qb * s_pad * 4 + qb * s_pad * esize \
+            <= VMEM_BUDGET_BYTES
+
+    if one_shot_fits(seq):
+        return "one_shot", seq, seq
+    for qb in (512, 256, 128):
+        s_pad = -(-seq // qb) * qb
+        if blocked_fits(s_pad, qb):
+            return "blocked", s_pad, qb
+    return None
+
+
+def _kernel(num_heads: int, head_dim: int, q_block: int,
+            qkv_ref, mask_ref, out_ref):
     d = num_heads * head_dim
-    x = qkv_ref[0]  # (S, 3·H·Dh) bf16
+    x = qkv_ref[0]  # (S, 3·H·Dh) — full row, resident across q-blocks
+    qb = pl.program_id(1)
+    # slice the q rows from the REF (Mosaic lowers pl.ds on refs, not
+    # dynamic_slice on values)
+    xq = qkv_ref[0, pl.ds(pl.multiple_of(qb * q_block, 8), q_block), :]
     # key-side padding bias, shared by every head/query
     kmask = mask_ref[0] > 0  # (1, S)
     scale = 1.0 / (head_dim ** 0.5)
 
     for h in range(num_heads):
-        q = x[:, h * head_dim:(h + 1) * head_dim]
+        q = xq[:, h * head_dim:(h + 1) * head_dim]
         k = x[:, d + h * head_dim:d + (h + 1) * head_dim]
         v = x[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (S, S)
+            preferred_element_type=jnp.float32)  # (QB, S)
         logits = jnp.where(kmask, logits * scale, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
@@ -54,10 +97,39 @@ def _kernel(num_heads: int, head_dim: int, qkv_ref, mask_ref, out_ref):
         out_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
 
 
+def _kernel_blocked(num_heads: int, head_dim: int,
+                    q_ref, kv_ref, mask_ref, out_ref):
+    """Blocked variant: Q arrives per-q-block, K|V per-row (resident across
+    the row's q-blocks).  Same math as the one-shot kernel."""
+    d = num_heads * head_dim
+    xq = q_ref[0]   # (QB, H·Dh)
+    kv = kv_ref[0]  # (S, 2·H·Dh)
+    kmask = mask_ref[0] > 0  # (1, S)
+    scale = 1.0 / (head_dim ** 0.5)
+
+    for h in range(num_heads):
+        q = xq[:, h * head_dim:(h + 1) * head_dim]
+        k = kv[:, h * head_dim:(h + 1) * head_dim]
+        v = kv[:, d + h * head_dim:d + (h + 1) * head_dim]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (QB, S)
+        logits = jnp.where(kmask, logits * scale, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(kv.dtype), v, preferred_element_type=jnp.float32)
+        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
+
+
 def _pallas_forward(qkv, mask, num_heads, interpret):
+    """One-shot kernel over the fused-QKV block (plan must be one_shot)."""
     b, s, three_d = qkv.shape
     d = three_d // 3
     head_dim = d // num_heads
+    plan = kernel_plan(s, d, qkv.dtype)
+    assert plan is not None and plan[0] == "one_shot", (
+        f"one-shot kernel_plan rejected seq {s}: {plan}")
 
     # Under shard_map (manual mesh axes) the out_shape must declare how the
     # output varies across mesh axes; mirror the input's vma.
@@ -65,23 +137,63 @@ def _pallas_forward(qkv, mask, num_heads, interpret):
     out_shape = (jax.ShapeDtypeStruct((b, s, d), qkv.dtype, vma=vma)
                  if vma else jax.ShapeDtypeStruct((b, s, d), qkv.dtype))
 
-    kern = functools.partial(_kernel, num_heads, head_dim)
+    kern = functools.partial(_kernel, num_heads, head_dim, s)
     return pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=(b, 1),
         in_specs=[
-            pl.BlockSpec((1, s, three_d), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, s, three_d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             # (B, 1, S) so the trailing block dims equal the array dims
             # (Mosaic block-shape divisibility rule)
-            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         interpret=interpret,
     )(qkv, mask.astype(jnp.int32)[:, None, :])
+
+
+def _pallas_forward_blocked(q, kv, mask, num_heads, interpret):
+    """Padded q-blocked kernel over separate Q / K|V operands."""
+    b, s, d = q.shape
+    head_dim = d // num_heads
+    plan = kernel_plan(s, d, q.dtype)
+    assert plan is not None and plan[0] == "blocked", (
+        f"blocked kernel_plan rejected seq {s}: {plan}")
+    _, s_pad, q_block = plan
+    if s_pad != s:
+        q = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0)))
+        kv = jnp.pad(kv, ((0, 0), (0, s_pad - s), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, s_pad - s)))
+    n_qb = s_pad // q_block
+
+    vma = getattr(jax.typeof(q), "vma", None)
+    out_shape = (jax.ShapeDtypeStruct((b, s_pad, d), q.dtype, vma=vma)
+                 if vma else jax.ShapeDtypeStruct((b, s_pad, d), q.dtype))
+
+    kern = functools.partial(_kernel_blocked, num_heads, head_dim)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # q-block index ignored → the row's K|V stays resident in VMEM
+            # across its q-blocks (no re-DMA)
+            pl.BlockSpec((1, s_pad, 2 * d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(q, kv, mask.astype(jnp.int32)[:, None, :])
+    return out[:, :s]
 
 
 def _xla_attention(qkv, mask, num_heads):
@@ -131,3 +243,52 @@ def _bwd(num_heads, interpret, residuals, g):
 
 
 encoder_attention.defvjp(_fwd, _bwd)
+
+
+def _xla_attention_split(q, kv, mask, num_heads):
+    """XLA reference of the blocked kernel's math (backward remat)."""
+    b, s, d = q.shape
+    head_dim = d // num_heads
+    k, v = jnp.split(kv, 2, axis=-1)
+    q = q.reshape(b, s, num_heads, head_dim) * (1.0 / head_dim ** 0.5)
+    k = k.reshape(b, s, num_heads, head_dim)
+    v = v.reshape(b, s, num_heads, head_dim)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = jnp.where(mask[:, None, None, :] > 0, logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1).astype(kv.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def encoder_attention_blocked(
+    q: jnp.ndarray,      # (B, S, H·Dh) query projection
+    kv: jnp.ndarray,     # (B, S, 2·H·Dh) fused key|value projection
+    mask: jnp.ndarray,   # (B, S) 1 = valid key
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Long-sequence variant → (B, S, H·Dh); see kernel_plan."""
+    return _pallas_forward_blocked(q, kv, mask, num_heads, interpret)
+
+
+def _fwd_blocked(q, kv, mask, num_heads, interpret):
+    out = _pallas_forward_blocked(q, kv, mask, num_heads, interpret)
+    return out, (q, kv, mask)
+
+
+def _bwd_blocked(num_heads, interpret, residuals, g):
+    import numpy as np
+
+    q, kv, mask = residuals
+    _, vjp = jax.vjp(
+        lambda qq, kk: _xla_attention_split(qq, kk, mask, num_heads), q, kv)
+    d_q, d_kv = vjp(g.astype(q.dtype))
+    if jnp.issubdtype(mask.dtype, jnp.integer):
+        d_mask = np.zeros(mask.shape, jax.dtypes.float0)
+    else:
+        d_mask = jnp.zeros_like(mask)
+    return d_q, d_kv, d_mask
+
+
+encoder_attention_blocked.defvjp(_fwd_blocked, _bwd_blocked)

@@ -51,6 +51,108 @@ def test_kernel_direct_call_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_q_blocked_matches_one_shot():
+    """blocked kernel (separate Q / K|V, q-block streaming) == one-shot."""
+    from cacophony_tpu.ops.encoder_attention import encoder_attention_blocked
+
+    d, h, b, s = 32, 2, 2, 256
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (b, s, 3 * d))
+    mask = jnp.ones((b, s), jnp.int32).at[0, 200:].set(0)
+    one_shot = encoder_attention(qkv, mask, h, True)
+
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    old = ea.VMEM_BUDGET_BYTES
+    try:
+        ea.VMEM_BUDGET_BYTES = 500_000  # force a blocked plan for s=256
+        plan = ea.kernel_plan(s, d, qkv.dtype)
+        assert plan is not None and plan[0] == "blocked", plan
+        q, kv = qkv[:, :, :d], qkv[:, :, d:]
+        blocked = encoder_attention_blocked(q, kv, mask, h, True)
+    finally:
+        ea.VMEM_BUDGET_BYTES = old
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(blocked)[m], np.asarray(one_shot)[m],
+                               atol=2e-6)
+
+
+def test_kernel_plan_budgets():
+    from cacophony_tpu.ops.encoder_attention import kernel_plan
+
+    # 10 s budget: one-shot in both dtypes
+    assert kernel_plan(500, 768, jnp.bfloat16) == ("one_shot", 500, 500)
+    assert kernel_plan(500, 768, jnp.float32) == ("one_shot", 500, 500)
+    # 30 s budget: padded+q-blocked at bf16 (q-blocks must be 8-divisible
+    # and nothing 8-divisible divides 1500); fp32 K|V rows bust the budget
+    assert kernel_plan(1500, 768, jnp.bfloat16) == ("blocked", 1536, 256)
+    assert kernel_plan(1500, 768, jnp.float32) is None
+
+
+def test_blocked_grad_matches_reference():
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    d, h, b, s = 32, 2, 1, 512
+    qkv = jax.random.normal(jax.random.PRNGKey(11), (b, s, 3 * d))
+    mask = jnp.ones((b, s), jnp.int32)
+    q, kv = qkv[:, :, :d], qkv[:, :, d:]
+
+    old = ea.VMEM_BUDGET_BYTES
+    try:
+        ea.VMEM_BUDGET_BYTES = 1_000_000  # force blocked
+        assert ea.kernel_plan(s, d, qkv.dtype)[0] == "blocked"
+        gq = jax.grad(lambda x: ea.encoder_attention_blocked(
+            x, kv, mask, h, True).sum())(q)
+    finally:
+        ea.VMEM_BUDGET_BYTES = old
+    gq_ref = jax.grad(lambda x: ea._xla_attention_split(
+        x, kv, mask, h).sum())(q)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref), atol=1e-5)
+
+
+def test_padded_seq_matches_einsum():
+    """A seq that forces pad+q-block (no 8-divisible divisor) matches the
+    einsum reference on valid rows."""
+    from cacophony_tpu.ops import encoder_attention as ea
+    from cacophony_tpu.models.layers import mask_to_bias
+
+    d, h, b, s = 32, 2, 2, 636  # 636: no 8-divisible divisor → pads to 640
+    p = attention_init(jax.random.PRNGKey(9), d, num_heads=h)
+    x = jax.random.normal(jax.random.PRNGKey(10), (b, s, d))
+    mask = jnp.ones((b, s), jnp.int32).at[1, 400:].set(0)
+
+    bias = mask_to_bias(mask)[:, None, None, :]
+    ref, _ = multi_head_attention(p, x, num_heads=h, bias=bias)
+
+    old = ea.VMEM_BUDGET_BYTES
+    try:
+        # 1.1 MB: one-shot logits (636²·4 ≈ 1.6 MB) don't fit; qb=128 over
+        # the 640-padded seq does
+        ea.VMEM_BUDGET_BYTES = 1_100_000
+        plan = ea.kernel_plan(s, d, x.dtype)
+        assert plan == ("blocked", 640, 128), plan
+        got, _ = multi_head_attention(p, x, num_heads=h, flash_mask=mask)
+    finally:
+        ea.VMEM_BUDGET_BYTES = old
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(got)[m], np.asarray(ref)[m],
+                               atol=2e-5)
+
+
+def test_grad_flows_through_kernel():
+    """custom_vjp backward (XLA remat) produces finite grads matching the
+    reference attention's grads."""
+    from cacophony_tpu.ops.encoder_attention import _xla_attention
+
+    d, h, b, s = 32, 2, 2, 16
+    qkv = jax.random.normal(jax.random.PRNGKey(8), (b, s, 3 * d))
+    mask = jnp.ones((b, s), jnp.int32)
+
+    g_kernel = jax.grad(lambda x: encoder_attention(x, mask, h, True).sum())(qkv)
+    g_ref = jax.grad(lambda x: _xla_attention(x, mask, h).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+                               atol=1e-5)
+
+
 def test_training_dropout_falls_back_with_mask():
     """flash_mask + dropout declines the kernel but must still mask keys."""
     d, h, b, s = 32, 2, 2, 10
