@@ -139,6 +139,10 @@ class TextConfig:
     # The caption decoder has cross-attention blocks; the unimodal text
     # encoder does not materialize cross params (matches checkpoint layout).
     cross_attention: bool = False
+    # The reference text tower is CAUSAL (kept for checkpoint parity —
+    # reference roberta_text_model.py:210-218); False gives a standard
+    # bidirectional RoBERTa encoder for from-scratch training.
+    causal: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -293,8 +293,14 @@ def text_encoder_apply(
     x = dropout(r(0), x, cfg.hidden_dropout, det)
 
     if cache is None:
-        bias = _causal_bias(attention_mask)
+        if cfg.causal:
+            bias = _causal_bias(attention_mask)
+        else:
+            # optional bidirectional tower (TextConfig.causal=False):
+            # padding-only masking, standard RoBERTa semantics
+            bias = mask_to_bias(attention_mask)[:, None, None, :]
     else:
+        assert cfg.causal, "KV-cached decode requires a causal tower"
         bias = _decode_bias(cache["k"].shape[2], cache["index"])
 
     x, new_cache = _run_text_blocks(params["blocks"], x, cfg, bias, cache=cache,

@@ -85,3 +85,24 @@ def test_cross_attention_matches_self_on_same_source():
                                         memory=x)
     np.testing.assert_allclose(np.asarray(out_self), np.asarray(out_cross),
                                atol=1e-5)
+
+
+def test_bidirectional_text_tower_option():
+    """TextConfig(causal=False): later tokens influence earlier positions
+    (impossible under the reference's causal tower, which is the default)."""
+    from cacophony_tpu.configs import TextConfig
+    from cacophony_tpu.models.text import text_encoder_apply, text_encoder_init
+
+    base = dict(vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+                intermediate_size=32, max_position_embeddings=16)
+    ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    ids2 = ids.at[0, 3].set(9)  # change only the LAST token
+    mask = jnp.ones((1, 4))
+
+    for causal in (True, False):
+        cfg = TextConfig(causal=causal, **base)
+        p = text_encoder_init(jax.random.PRNGKey(0), cfg)
+        _, h1, _ = text_encoder_apply(p, cfg, ids, mask)
+        _, h2, _ = text_encoder_apply(p, cfg, ids2, mask)
+        first_tok_changed = bool(np.abs(np.asarray(h1[0, 0] - h2[0, 0])).max() > 1e-6)
+        assert first_tok_changed == (not causal), (causal, first_tok_changed)
