@@ -115,9 +115,17 @@ def multi_head_attention(
             # long-seq plan wants SEPARATE Q and K|V operands (the fused
             # block double-buffered busts VMEM): split the fused weight —
             # same FLOPs, two matmuls, no activation copies
-            w, bias_p = params["qkv"]["w"], params["qkv"]["b"]
-            q_out = dense({"w": w[:, :d], "b": bias_p[:d]}, x, dtype)
-            kv_out = dense({"w": w[:, d:], "b": bias_p[d:]}, x, dtype)
+            pq = params["qkv"]
+            if "w_q" in pq:  # int8 serving form splits the same way
+                q_p = {"w_q": pq["w_q"][:, :d], "s_w": pq["s_w"][:d],
+                       "b": pq["b"][:d]}
+                kv_p = {"w_q": pq["w_q"][:, d:], "s_w": pq["s_w"][d:],
+                        "b": pq["b"][d:]}
+            else:
+                q_p = {"w": pq["w"][:, :d], "b": pq["b"][:d]}
+                kv_p = {"w": pq["w"][:, d:], "b": pq["b"][d:]}
+            q_out = dense(q_p, x, dtype)
+            kv_out = dense(kv_p, x, dtype)
             out = encoder_attention_blocked(q_out, kv_out, flash_mask,
                                             num_heads, interp)
             return dense(params["o"], out, dtype), None

@@ -47,6 +47,7 @@ class CacoEngine:
         batch_size: int = 32,
         dtype=None,
         fused_frontend: Optional[bool] = None,
+        quantize_int8: bool = False,
     ):
         """dtype overrides cfg.dtype for serving (bf16 measured at 1.9×
         fp32 throughput with ≥0.999994 embedding cosine on this model —
@@ -76,6 +77,14 @@ class CacoEngine:
         self.batch_size = batch_size
         self.tokenizer = tokenizer
         self.mesh = mesh
+        if quantize_int8:
+            # quality-gated int8 serving: audio tower + pooler weights
+            # per-channel int8, activations dynamically quantized per token
+            assert mesh is None, "int8 serving + mesh sharding not wired yet"
+            from cacophony_tpu.ops.quant import quantize_caco_audio_tower
+
+            params = quantize_caco_audio_tower(params)
+        self.quantize_int8 = quantize_int8
         self.params = shard_params(params, mesh) if mesh is not None else params
         if fused_frontend is None:
             fused_frontend = jax.default_backend() not in ("cpu",)
