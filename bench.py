@@ -51,9 +51,9 @@ from cacophony_tpu.utils.flops import device_peak_flops, pipeline_matmul_flops
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
-BATCH = 128  # bf16 sweep on v5e: B=32→514, B=64→648, B=128→795 clips/s
+BATCH = 128  # bf16 sweep on v5e (r2 kernel): B=128→1421 clips/s, B=256→1335
 ITERS = 8
-DECODE_STREAMS = 16
+DECODE_STREAMS = 64  # r2: 64 streams 15.8k tok/s vs 16 streams 10.3k
 DECODE_LEN = 64
 
 
