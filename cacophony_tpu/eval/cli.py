@@ -128,6 +128,9 @@ def _run(args):
 
             enforce_expectations(results, args.expect)
         return results
+    if args.expect:
+        raise SystemExit("--expect supports zs/ar tasks only (the reference "
+                         "publishes no caption metrics to gate against)")
     preds, gts = audio_captioning(engine, proc, split=split,
                                   output_dir=args.output_dir)
     _write_json(args.output_json,

@@ -177,20 +177,38 @@ def segment_based_metrics(predictions, targets,
 
 def _max_bipartite_matching(adj: List[List[int]]) -> int:
     """Maximum-cardinality bipartite matching size (augmenting paths) —
-    sed_eval matches candidate hits optimally via util.bipartite_match."""
+    sed_eval matches candidate hits optimally via util.bipartite_match.
+    ITERATIVE DFS: a dense same-label file (1000+ overlapping candidate
+    events from an aggressive postprocess config) would blow Python's
+    recursion limit with the recursive formulation."""
     match_right: Dict[int, int] = {}
 
-    def try_assign(u: int, seen: set) -> bool:
-        for v in adj[u]:
-            if v in seen:
-                continue
-            seen.add(v)
-            if v not in match_right or try_assign(match_right[v], seen):
-                match_right[v] = u
-                return True
+    def try_assign(root: int) -> bool:
+        seen: set = set()
+        # stack frames: (u, iterator over u's candidates, v reserved by u)
+        stack = [(root, iter(adj[root]), None)]
+        while stack:
+            u, it, _ = stack[-1]
+            advanced = False
+            for v in it:
+                if v in seen:
+                    continue
+                seen.add(v)
+                if v not in match_right:
+                    # augmenting path found: commit reservations up the stack
+                    match_right[v] = u
+                    for uu, _, vv in reversed(stack[:-1]):
+                        match_right[vv] = uu
+                    return True
+                stack[-1] = (u, it, v)
+                stack.append((match_right[v], iter(adj[match_right[v]]), None))
+                advanced = True
+                break
+            if not advanced:
+                stack.pop()
         return False
 
-    return sum(try_assign(u, set()) for u in range(len(adj)))
+    return sum(try_assign(u) for u in range(len(adj)))
 
 
 def event_based_metrics(predictions, targets, *, t_collar_ms: float = 200.0,

@@ -101,7 +101,9 @@ def multi_head_attention(
         use_kernel = (flash_mask is not None and kv_cache is None
                       and dropout_rate == 0.0 and not inside_shard_map
                       and plan is not None)
-        interp = jax.default_backend() == "cpu"
+        # compiled kernel on TPU only; interpret (plain jax ops) everywhere
+        # else — a GPU/METAL backend can't lower pltpu kernels
+        interp = jax.default_backend() != "tpu"
         # Bespoke VMEM attention kernel (encoder shapes): no head split,
         # no layout copies, no HBM logits; scaling/masking/softmax
         # in-kernel.  Under shard_map's manual axes the einsum path runs

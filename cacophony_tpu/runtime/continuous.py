@@ -296,7 +296,7 @@ class ContinuousCaptioner:
             # a high-latency link and a poor MXU shape everywhere)
             while queue and free:
                 n = min(len(queue), len(free), sizes[-1])
-                p = next(sz for sz in sizes if sz >= n) if n <= sizes[-1] else sizes[-1]
+                p = next(sz for sz in sizes if sz >= n)
                 group, queue = queue[:n], queue[n:]
                 gidx, queue_idx = queue_idx[:n], queue_idx[n:]
                 slots = free[:n] + [trash] * (p - n)

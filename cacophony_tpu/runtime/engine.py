@@ -87,8 +87,19 @@ class CacoEngine:
         self.quantize_int8 = quantize_int8
         self.params = shard_params(params, mesh) if mesh is not None else params
         if fused_frontend is None:
-            fused_frontend = jax.default_backend() not in ("cpu",)
+            # compiled kernel needs a TPU backend, and under a GSPMD mesh
+            # the pallas custom-call has no partitioning rule (shard_map
+            # wrapping is future work — see ROADMAP)
+            fused_frontend = jax.default_backend() == "tpu" and mesh is None
         self.fused_frontend = fused_frontend
+        if mesh is not None and cfg.audio.flash_attention:
+            # same GSPMD caveat for the attention kernel: fall back to the
+            # einsum path when serving over a mesh
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, audio=dataclasses.replace(cfg.audio, flash_attention=False))
+            self.cfg = cfg
 
     def _wav_to_patch_batch(self, bufs, lens):
         """Batched wav→patch-dict: fused Pallas kernel or XLA chain."""
@@ -97,7 +108,7 @@ class CacoEngine:
 
             return fused_batch_wav_to_patches(
                 bufs, lens, self.front, self.patch,
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() != "tpu")
         return jax.vmap(
             lambda b, n: wav_to_patches(b, n, self.front, self.patch))(bufs, lens)
 

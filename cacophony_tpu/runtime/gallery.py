@@ -113,11 +113,15 @@ class GalleryIndex:
         self.size += n
 
     def delete(self, indices: Sequence[int]):
-        """Mask rows out of every future search (no compaction)."""
-        idx = np.asarray(list(indices), np.int32)
+        """Mask rows out of every future search (no compaction).
+        Idempotent: re-deleting a row doesn't corrupt the live-row count."""
+        idx = np.asarray(sorted(set(indices)), np.int32)
+        if len(idx) == 0:
+            return
         assert (0 <= idx).all() and (idx < self.size).all(), "index out of range"
+        was_valid = np.asarray(self._valid[jnp.asarray(idx)])
         self._valid = self._valid.at[jnp.asarray(idx)].set(False)
-        self.num_deleted += len(set(idx.tolist()))
+        self.num_deleted += int(was_valid.sum())
 
     def search(self, queries: np.ndarray, k: int = 10) -> Tuple[np.ndarray, np.ndarray, List]:
         """→ (scores (nq, k), indices (nq, k), labels per row).

@@ -84,3 +84,15 @@ def test_growth_preserves_contents(rng):
     all_emb = np.concatenate(all_emb)
     scores, idx, _ = g.search(all_emb, k=1)
     np.testing.assert_array_equal(idx[:, 0], np.arange(30))
+
+
+def test_delete_idempotent(rng):
+    """Re-deleting a row must not corrupt the live-row count (review fix)."""
+    dim = 8
+    g = G.GalleryIndex(dim)
+    g.add(_normed(rng, 2, dim))
+    g.delete([0])
+    g.delete([0])  # repeat: no double count
+    assert g.num_deleted == 1
+    s, idx, _ = g.search(_normed(rng, 1, dim), k=5)
+    assert idx.shape == (1, 1) and idx[0, 0] == 1

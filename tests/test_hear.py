@@ -428,3 +428,29 @@ def test_d_prime_per_class_before_mean():
     assert got == pytest.approx(expected, rel=1e-6)
     wrong = np.sqrt(2) * norm.ppf(per_class.mean())
     assert abs(got - wrong) > 0.05  # the two formulations genuinely differ
+
+
+def test_bipartite_matching_matches_scipy_on_random_graphs():
+    """Iterative augmenting-path matching == scipy maximum matching
+    (the recursive formulation could blow the recursion limit on dense
+    same-label event files — review fix)."""
+    import numpy as np
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_bipartite_matching
+
+    from cacophony_tpu.hear.score import _max_bipartite_matching
+
+    rng = np.random.RandomState(0)
+    for n, p in ((30, 0.1), (200, 0.02), (1500, 0.002)):
+        m = rng.rand(n, n) < p
+        adj = [list(np.nonzero(m[u])[0]) for u in range(n)]
+        ours = _max_bipartite_matching(adj)
+        ref = int((maximum_bipartite_matching(csr_matrix(m), perm_type="column")
+                   >= 0).sum())
+        assert ours == ref, (n, ours, ref)
+
+    # fully-connected dense block (every est hits every ref): n matches,
+    # and NO recursion depth involved
+    n = 1500
+    adj = [list(range(n))] * n
+    assert _max_bipartite_matching(adj) == n
