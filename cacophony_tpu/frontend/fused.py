@@ -75,6 +75,23 @@ def audio_rows_for(num_frames: int, front: FrontendConfig) -> int:
     return num_frames + n_seg
 
 
+# Per-grid-step VMEM budget; pipelined blocks double-buffer (count twice).
+VMEM_BUDGET_BYTES = 15 * 1024 * 1024
+
+
+def fits_vmem(num_frames: int, front: FrontendConfig) -> bool:
+    """Whether one clip's DSP chain fits on-chip: audio rows + fp32 re|im
+    accumulator + magnitude + log-mel output.  A 10 s clip (1000 frames)
+    fits comfortably; a 30 s clip (3000 frames) does NOT (measured 23.3M >
+    16M) — callers fall back to the XLA chain there."""
+    rows = audio_rows_for(num_frames, front)
+    nbins_pad = _round_up(front.num_spectrogram_bins, 128)
+    blocks = (rows * front.hop_length * 4          # audio in
+              + num_frames * front.num_mels * 4)   # log-mel out
+    scratch = num_frames * 2 * nbins_pad * 4 * 2   # acc + magnitude
+    return 2 * blocks + scratch <= VMEM_BUDGET_BYTES
+
+
 def buffer_to_rows(bufs: jnp.ndarray, num_frames: int, front: FrontendConfig):
     """(B, samples) zero-padded buffers → (B, R, hop) hop-major rows.
 
@@ -194,8 +211,16 @@ def fused_batch_wav_to_patches(
     interpret: bool = False,
 ):
     """Drop-in batched replacement for vmap(wav_to_patches): full patch dict.
-    DSP chain in the Pallas kernel; patchify transpose + masking in XLA."""
+    DSP chain in the Pallas kernel; patchify transpose + masking in XLA.
+    Falls back to the pure-XLA chain when the clip's frame count busts the
+    kernel's VMEM budget (30 s+ buffers)."""
     num_frames = -(-bufs.shape[1] // front.hop_length)
+    if not fits_vmem(num_frames, front):
+        from cacophony_tpu.frontend.patchify import wav_to_patches
+
+        lens_i = jnp.asarray(lens, jnp.int32)
+        return jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(
+            bufs, lens_i)
     rows = buffer_to_rows(bufs, num_frames, front)
     logmel = fused_log_mel(rows, front, num_frames, interpret=interpret)
     valid_frames = -(-lens.astype(jnp.int32) // front.hop_length)

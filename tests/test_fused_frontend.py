@@ -101,3 +101,23 @@ def test_patch_index_arrays_match_patchify():
     got = patch_index_arrays(lens, front, patch)
     for k in ("audio_time_inds", "audio_freq_inds", "audio_mask"):
         np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+
+
+def test_long_buffer_falls_back_to_xla():
+    """30 s buffers (3000 frames) bust the kernel VMEM budget (measured
+    23.3M > 16M on v5e) and must route through the XLA chain unchanged."""
+    from cacophony_tpu.frontend.fused import fits_vmem
+
+    front = FrontendConfig()
+    assert fits_vmem(1000, front)       # 10 s budget
+    assert not fits_vmem(3000, front)   # 30 s budget
+
+    patch = PatchConfig(patches_seq_len=120)
+    rng = np.random.RandomState(5)
+    bufs = jnp.asarray(rng.randn(2, 480_000).astype(np.float32) * 0.3)
+    lens = jnp.asarray([480_000, 250_000], jnp.int32)
+    ref = _xla_batch(bufs, lens, front, patch)
+    got = fused_batch_wav_to_patches(bufs, lens, front, patch, interpret=True)
+    np.testing.assert_array_equal(got["audio_mask"], ref["audio_mask"])
+    np.testing.assert_allclose(got["audio_patches"], ref["audio_patches"],
+                               atol=2e-5, rtol=1e-6)
