@@ -20,7 +20,8 @@ from pathlib import Path
 
 
 def _make_embedder(name: str, model_path: str, sample_rate: int,
-                   audio_max_len_s: float, batch_size: int):
+                   audio_max_len_s: float, batch_size: int,
+                   strict_counts: bool = True):
     from cacophony_tpu.hear.embeddings import AudioMAEHearEmbedder, CacoHearEmbedder
 
     if "audiomae" in name:
@@ -32,7 +33,7 @@ def _make_embedder(name: str, model_path: str, sample_rate: int,
                                     batch_size=batch_size)
     from cacophony_tpu.checkpoints.io import load_caco
 
-    cfg, params = load_caco(model_path)
+    cfg, params = load_caco(model_path, strict_counts=strict_counts)
     return CacoHearEmbedder(cfg, params, sample_rate=sample_rate,
                             audio_max_len_s=audio_max_len_s,
                             batch_size=batch_size)
@@ -80,7 +81,7 @@ def task_embeddings(embedder, task_path: Path, embed_task_dir: Path):
 def run(model_path: str, tasks_dir: str, embeddings_dir: str,
         embedding_name: str = "caco", task: str = "all",
         batch_size: int = 8, max_audio_len_s: float = 10.0,
-        sample_rate: int = 16_000):
+        sample_rate: int = 16_000, strict_counts: bool = True):
     tasks_root = Path(tasks_dir)
     if task == "all":
         tasks = sorted(p for p in tasks_root.iterdir() if p.is_dir())
@@ -88,7 +89,7 @@ def run(model_path: str, tasks_dir: str, embeddings_dir: str,
         tasks = [tasks_root / task]
 
     embedder = _make_embedder(embedding_name, model_path, sample_rate,
-                              max_audio_len_s, batch_size)
+                              max_audio_len_s, batch_size, strict_counts)
     for task_path in tasks:
         embed_task_dir = Path(embeddings_dir) / embedding_name / task_path.name
         done = embed_task_dir / ".done.embeddings"
@@ -117,9 +118,12 @@ def main(argv=None):
     p.add_argument("--max-audio-len", type=float, default=10.0,
                    help="seconds (the reference flag is in samples)")
     p.add_argument("--sample-rate", type=int, default=16_000)
+    p.add_argument("--no-strict-counts", action="store_true",
+                   help="skip published param-count checks (custom models)")
     a = p.parse_args(argv)
     run(a.model_path, a.tasks_dir, a.embeddings_dir, a.embedding_name, a.task,
-        a.batch_size, a.max_audio_len, a.sample_rate)
+        a.batch_size, a.max_audio_len, a.sample_rate,
+        strict_counts=not a.no_strict_counts)
 
 
 if __name__ == "__main__":
