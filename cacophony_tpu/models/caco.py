@@ -110,7 +110,7 @@ def get_text_embedding(
     """→ (embedding (B, proj), hidden (B, S, D)). Reference caco.py:99-123."""
     pooled, hidden, _ = text_encoder_apply(
         params["text"], cfg.text, text_input_ids, text_mask, position_ids,
-        train=train, rngs=rngs,
+        train=train, rngs=rngs, dtype=cfg.dtype,
     )
     emb = dense(params["text_proj"], pooled)
     if normalize:
@@ -136,13 +136,13 @@ def caption_logits(
         r1, r2 = jax.random.split(rngs)
     _, text_hidden, _ = text_encoder_apply(
         params["text"], cfg.text, text_input_ids, text_mask,
-        train=train, rngs=r1, pool=False,
+        train=train, rngs=r1, pool=False, dtype=cfg.dtype,
     )
     logits, _ = caption_decoder_apply(
         params["decoder"], cfg.decoder, text_hidden, text_mask,
-        audio_hidden, audio_mask, train=train, rngs=r2,
+        audio_hidden, audio_mask, train=train, rngs=r2, dtype=cfg.dtype,
     )
-    return logits
+    return logits.astype(jnp.float32)
 
 
 # ------------------------------------------------------------------ decode
