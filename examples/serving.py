@@ -1,0 +1,78 @@
+"""Serving tour: bf16 engine, retrieval gallery, continuous captioning.
+
+    python examples/serving.py --ckpt_path CKPT --tokenizer TOKDIR \
+        gallery_audio/*.wav --queries "a dog barking" "rain"
+
+Shows the round-2 serving surfaces:
+- bf16 engine (embedding cosine vs fp32 ≥ 0.999994; 1.8× throughput) with
+  the bespoke attention kernel + fused DSP frontend (TPU defaults)
+- GalleryIndex: device-resident top-k retrieval with incremental inserts,
+  delete, and save/load persistence
+- ContinuousCaptioner: slotted KV-cache decode server with batched
+  prefill and windowed host sync
+- optional int8 audio tower (--int8; cosine vs bf16 ≈ 0.9998)
+"""
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from cacophony_tpu import CacoEngine, load_caco, load_tokenizer
+from cacophony_tpu.data.audio_io import load_audio
+from cacophony_tpu.runtime.continuous import ContinuousCaptioner
+from cacophony_tpu.runtime.gallery import GalleryIndex
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("wavs", nargs="+")
+    p.add_argument("--ckpt_path", required=True)
+    p.add_argument("--tokenizer", default="roberta-base")
+    p.add_argument("--queries", nargs="*", default=["a dog barking"])
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--caption", action="store_true")
+    p.add_argument("--gallery_path", default=None,
+                   help="persist/restore the gallery at this .npz path")
+    p.add_argument("--no_strict_counts", action="store_true")
+    args = p.parse_args()
+
+    cfg, params = load_caco(args.ckpt_path,
+                            strict_counts=not args.no_strict_counts)
+    tokenizer = load_tokenizer(args.tokenizer)
+    engine = CacoEngine(cfg, params, tokenizer=tokenizer,
+                        dtype=jnp.bfloat16, quantize_int8=args.int8)
+
+    # ingest the gallery (streams: any iterable works, bounded host RAM)
+    wavs = [load_audio(path) for path in args.wavs]
+    gallery = GalleryIndex(cfg.projection_size,
+                           logit_scale=float(np.asarray(params["logit_scale"])))
+    gallery.add(engine.embed_audio(wavs), labels=list(args.wavs))
+
+    # text → audio retrieval over the device-resident gallery
+    q_emb = engine.embed_texts(args.queries)
+    scores, _, labels = gallery.search(q_emb, k=min(3, len(wavs)))
+    for qi, query in enumerate(args.queries):
+        print(f"{query!r}: " + ", ".join(
+            f"{lbl} ({s:.2f})" for lbl, s in zip(labels[qi], scores[qi])))
+
+    if args.gallery_path:
+        gallery.save(args.gallery_path)
+        print(f"gallery persisted to {args.gallery_path} "
+              f"({gallery.size} rows)")
+
+    if args.caption:
+        # continuous batching: requests stream in, slots refill on the fly
+        batch, n = engine.audio_patch_batch(wavs)
+        import jax
+
+        requests = (jax.tree_util.tree_map(lambda x: x[i:i + 1], batch)
+                    for i in range(n))
+        server = ContinuousCaptioner(engine.cfg, engine.params, tokenizer,
+                                     num_slots=min(16, n))
+        for path, cap in zip(args.wavs, server.run(requests)):
+            print(f"{path}: {cap!r}")
+
+
+if __name__ == "__main__":
+    main()
