@@ -196,6 +196,88 @@ def _pallas_forward_blocked(q, kv, mask, num_heads, interpret):
     return out[:, :s]
 
 
+def _bwd_kernel(num_heads: int, head_dim: int,
+                qkv_ref, mask_ref, g_ref, dqkv_ref):
+    """One-shot attention backward per batch row, all heads in VMEM.
+
+    Flash-style: P is recomputed from the saved QKV (no residuals in HBM);
+    the five S²·Dh matmuls per head (P recompute, dV, dP, dQ, dK) all run
+    on the MXU against VMEM tiles — XLA's unfused backward materialized
+    the (B,H,S,S) logits twice plus layout copies."""
+    d = num_heads * head_dim
+    x = qkv_ref[0]    # (S, 3·H·Dh)
+    g = g_ref[0]      # (S, H·Dh)
+    kmask = mask_ref[0] > 0  # (1, S)
+    scale = 1.0 / (head_dim ** 0.5)
+
+    for h in range(num_heads):
+        q = x[:, h * head_dim:(h + 1) * head_dim]
+        k = x[:, d + h * head_dim:d + (h + 1) * head_dim]
+        v = x[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+        go = g[:, h * head_dim:(h + 1) * head_dim]
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits = jnp.where(kmask, logits * scale, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)          # (S, S) fp32
+
+        pb = p.astype(x.dtype)
+        dv = jax.lax.dot_general(pb, go, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (S, Dh)
+        dp = jax.lax.dot_general(go, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (S, S)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = jnp.where(kmask, ds, 0.0) * scale               # masked cols: 0
+        dsb = ds.astype(x.dtype)
+        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32)      # (S, Dh)
+        dk = jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (S, Dh)
+
+        dt = dqkv_ref.dtype
+        dqkv_ref[0, :, h * head_dim:(h + 1) * head_dim] = dq.astype(dt)
+        dqkv_ref[0, :, d + h * head_dim:d + (h + 1) * head_dim] = dk.astype(dt)
+        dqkv_ref[0, :, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim] = \
+            dv.astype(dt)
+
+
+def _pallas_backward(qkv, mask, g, num_heads, interpret):
+    """d_qkv for the one-shot forward (same VMEM-capacity regime)."""
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    head_dim = d // num_heads
+
+    kern = functools.partial(_bwd_kernel, num_heads, head_dim)
+    return pl.pallas_call(
+        kern,
+        grid=(b, 1),
+        in_specs=[
+            pl.BlockSpec((1, s, three_d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, three_d), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, three_d), qkv.dtype),
+        interpret=interpret,
+    )(qkv, mask.astype(jnp.int32)[:, None, :], g.astype(qkv.dtype))
+
+
+def bwd_fits_vmem(seq: int, d_model: int, dtype) -> bool:
+    """Backward working set: qkv + g blocks + d_qkv out (double-buffered)
+    + two fp32 (S,S) tiles (P and dP/dS) + dO/V temporaries."""
+    esize = jnp.dtype(dtype).itemsize
+    blocks = (seq * 3 * d_model * esize * 2   # qkv in + d_qkv out
+              + seq * d_model * esize)        # g in
+    return 2 * blocks + 2 * seq * seq * 4 + seq * seq * esize \
+        <= VMEM_BUDGET_BYTES
+
+
 def _xla_attention(qkv, mask, num_heads):
     """Same math as the kernel, in XLA ops — used only to derive the
     backward pass (flash-style rematerialization: no residual activations
@@ -233,8 +315,12 @@ def _bwd(num_heads, interpret, residuals, g):
     import numpy as np
 
     qkv, mask = residuals
-    _, vjp = jax.vjp(lambda x: _xla_attention(x, mask, num_heads), qkv)
-    (d_qkv,) = vjp(g.astype(qkv.dtype))
+    b, s, three_d = qkv.shape
+    if bwd_fits_vmem(s, three_d // 3, qkv.dtype):
+        d_qkv = _pallas_backward(qkv, mask, g, num_heads, interpret)
+    else:
+        _, vjp = jax.vjp(lambda x: _xla_attention(x, mask, num_heads), qkv)
+        (d_qkv,) = vjp(g.astype(qkv.dtype))
     if jnp.issubdtype(mask.dtype, jnp.integer):
         d_mask = np.zeros(mask.shape, jax.dtypes.float0)
     else:
