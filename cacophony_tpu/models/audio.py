@@ -93,11 +93,22 @@ def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
     det = not train
     r = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
 
-    h = layer_norm(p["ln1"], x, LN_EPS)
-    h, _ = multi_head_attention(p["attn"], h, num_heads=num_heads, bias=bias,
-                                dtype=dtype, flash_mask=flash_mask,
-                                dropout_rate=0.0 if det else dropout_rate,
-                                dropout_rng=r(5))
+    h = None
+    if flash_mask is not None and det:
+        # inference fast path: LN1 + QKV + attention in one Pallas kernel
+        # (the LN'd activations and QKV tensor never touch HBM)
+        from cacophony_tpu.ops.encoder_attention import try_fused_ln_attention
+
+        h = try_fused_ln_attention(p["ln1"], p["attn"], x, flash_mask,
+                                   num_heads, LN_EPS, dtype)
+        if h is not None:
+            h = dense(p["attn"]["o"], h, dtype)
+    if h is None:
+        h = layer_norm(p["ln1"], x, LN_EPS)
+        h, _ = multi_head_attention(p["attn"], h, num_heads=num_heads, bias=bias,
+                                    dtype=dtype, flash_mask=flash_mask,
+                                    dropout_rate=0.0 if det else dropout_rate,
+                                    dropout_rng=r(5))
     h = dropout(r(0), h, dropout_rate, det)
     x = x + drop_path(r(1), h, drop_path_rate, det)
 

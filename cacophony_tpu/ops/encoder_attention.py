@@ -196,6 +196,106 @@ def _pallas_forward_blocked(q, kv, mask, num_heads, interpret):
     return out[:, :s]
 
 
+def _fused_ln_kernel(num_heads: int, head_dim: int, eps: float,
+                     x_ref, w_ref, b_ref, ls_ref, lb_ref, mask_ref, out_ref):
+    """Pre-LN + fused-QKV projection + one-shot attention in ONE kernel:
+    x block in, attention output block out — the LN'd activations and the
+    (S, 3·H·Dh) QKV tensor never touch HBM."""
+    d = num_heads * head_dim
+    xb = x_ref[0].astype(jnp.float32)        # (S, D)
+    mu = jnp.mean(xb, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xb - mu), axis=-1, keepdims=True)
+    xn = (xb - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * ls_ref[0] + lb_ref[0]).astype(out_ref.dtype)
+
+    x = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+    x = (x + b_ref[0]).astype(out_ref.dtype)  # (S, 3·H·Dh)
+
+    kmask = mask_ref[0] > 0
+    scale = 1.0 / (head_dim ** 0.5)
+    for h in range(num_heads):
+        q = x[:, h * head_dim:(h + 1) * head_dim]
+        k = x[:, d + h * head_dim:d + (h + 1) * head_dim]
+        v = x[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits = jnp.where(kmask, logits * scale, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
+        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
+
+
+def fused_ln_attention(ln_p, qkv_p, x, mask, num_heads, eps,
+                       interpret: bool = False):
+    """Inference-only fusion: LayerNorm(x) → QKV → attention, one kernel.
+    Falls back must be handled by the caller (kernel_plan gates capacity;
+    weights must be the plain fp32/bf16 {'w','b'} form)."""
+    b, s, d = x.shape
+    head_dim = d // num_heads
+    w = qkv_p["w"].astype(x.dtype)
+
+    kern = functools.partial(_fused_ln_kernel, num_heads, head_dim, eps)
+    return pl.pallas_call(
+        kern,
+        grid=(b, 1),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        interpret=interpret,
+    )(x, w, qkv_p["b"].astype(jnp.float32)[None],
+      ln_p["scale"].astype(jnp.float32)[None],
+      ln_p["bias"].astype(jnp.float32)[None],
+      mask.astype(jnp.int32)[:, None, :])
+
+
+def fused_ln_fits(seq: int, d_model: int, dtype) -> bool:
+    """Capacity: x in + out blocks + resident weights (all double-buffered)
+    + in-register QKV + fp32 logits + probs."""
+    esize = jnp.dtype(dtype).itemsize
+    blocks = (2 * seq * d_model * esize            # x + out
+              + d_model * 3 * d_model * esize)     # w_qkv (revisited)
+    scratch = seq * 3 * d_model * esize + seq * seq * 4 + seq * seq * esize
+    return 2 * blocks + scratch <= VMEM_BUDGET_BYTES
+
+
+def try_fused_ln_attention(ln_p, attn_p, x, mask, num_heads, eps, dtype):
+    """→ attention output (pre out-proj) via the LN+QKV+attention kernel,
+    or None when ineligible (shard_map manual axes, int8 weights, capacity,
+    or a plan that isn't one-shot).  INFERENCE ONLY — no vjp is defined;
+    training paths must keep the unfused route."""
+    if bool(getattr(jax.typeof(x), "vma", None)):
+        return None
+    if "w" not in attn_p["qkv"]:  # int8 serving form — dequant path instead
+        return None
+    b, s, d = x.shape
+    compute_dtype = dtype if dtype is not None else x.dtype
+    plan = kernel_plan(s, d, compute_dtype)
+    if plan is None or plan[0] != "one_shot":
+        return None
+    if not fused_ln_fits(s, d, compute_dtype):
+        return None
+    return fused_ln_attention(ln_p, attn_p["qkv"], x.astype(compute_dtype),
+                              mask, num_heads, eps,
+                              interpret=jax.default_backend() != "tpu")
+
+
 def _bwd_kernel(num_heads: int, head_dim: int,
                 qkv_ref, mask_ref, g_ref, dqkv_ref):
     """One-shot attention backward per batch row, all heads in VMEM.
