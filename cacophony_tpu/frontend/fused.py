@@ -76,7 +76,9 @@ def audio_rows_for(num_frames: int, front: FrontendConfig) -> int:
 
 
 # Per-grid-step VMEM budget; pipelined blocks double-buffer (count twice).
-VMEM_BUDGET_BYTES = 15 * 1024 * 1024
+# Shared with the attention kernels so device-generation retuning happens
+# in one place.
+from cacophony_tpu.ops.encoder_attention import VMEM_BUDGET_BYTES  # noqa: E402
 
 
 def fits_vmem(num_frames: int, front: FrontendConfig) -> bool:

@@ -27,7 +27,7 @@ def _make_embedder(name: str, model_path: str, sample_rate: int,
     if "audiomae" in name:
         from cacophony_tpu.checkpoints.io import load_audiomae
 
-        cfg, params = load_audiomae(model_path)
+        cfg, params = load_audiomae(model_path, strict_counts=strict_counts)
         return AudioMAEHearEmbedder(cfg, params, sample_rate=sample_rate,
                                     audio_max_len_s=audio_max_len_s,
                                     batch_size=batch_size)

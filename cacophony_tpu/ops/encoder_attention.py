@@ -70,6 +70,32 @@ def kernel_plan(seq: int, d_model: int, dtype):
     return None
 
 
+def _head_softmax(q, k, kmask, head_dim):
+    """Per-head masked softmax probabilities, fp32 — THE shared numerics of
+    every kernel in this file (forward variants and the backward's P
+    recompute); change scale/mask/dtype policy here only."""
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (Q, S)
+    logits = jnp.where(kmask, logits * (1.0 / (head_dim ** 0.5)), NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _attend_heads(xq, k_src, v_src, kmask, num_heads, head_dim, out_ref):
+    """Shared all-heads attention loop: q from xq columns, k/v from the
+    given sources, outputs written per head into out_ref's row block."""
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = xq[:, sl]
+        k = k_src[:, sl]
+        v = v_src[:, sl]
+        p = _head_softmax(q, k, kmask, head_dim)
+        o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
+        out_ref[0, :, sl] = o.astype(out_ref.dtype)
+
+
 def _kernel(num_heads: int, head_dim: int, q_block: int,
             qkv_ref, mask_ref, out_ref):
     d = num_heads * head_dim
@@ -78,23 +104,9 @@ def _kernel(num_heads: int, head_dim: int, q_block: int,
     # slice the q rows from the REF (Mosaic lowers pl.ds on refs, not
     # dynamic_slice on values)
     xq = qkv_ref[0, pl.ds(pl.multiple_of(qb * q_block, 8), q_block), :]
-    # key-side padding bias, shared by every head/query
-    kmask = mask_ref[0] > 0  # (1, S)
-    scale = 1.0 / (head_dim ** 0.5)
-
-    for h in range(num_heads):
-        q = xq[:, h * head_dim:(h + 1) * head_dim]
-        k = x[:, d + h * head_dim:d + (h + 1) * head_dim]
-        v = x[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (QB, S)
-        logits = jnp.where(kmask, logits * scale, NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
-        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
+    kmask = mask_ref[0] > 0  # (1, S) key-side padding mask
+    _attend_heads(xq, x[:, d:2 * d], x[:, 2 * d:], kmask,
+                  num_heads, head_dim, out_ref)
 
 
 def _kernel_blocked(num_heads: int, head_dim: int,
@@ -102,24 +114,10 @@ def _kernel_blocked(num_heads: int, head_dim: int,
     """Blocked variant: Q arrives per-q-block, K|V per-row (resident across
     the row's q-blocks).  Same math as the one-shot kernel."""
     d = num_heads * head_dim
-    xq = q_ref[0]   # (QB, H·Dh)
     kv = kv_ref[0]  # (S, 2·H·Dh)
     kmask = mask_ref[0] > 0  # (1, S)
-    scale = 1.0 / (head_dim ** 0.5)
-
-    for h in range(num_heads):
-        q = xq[:, h * head_dim:(h + 1) * head_dim]
-        k = kv[:, h * head_dim:(h + 1) * head_dim]
-        v = kv[:, d + h * head_dim:d + (h + 1) * head_dim]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (QB, S)
-        logits = jnp.where(kmask, logits * scale, NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(kv.dtype), v, preferred_element_type=jnp.float32)
-        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
+    _attend_heads(q_ref[0], kv[:, :d], kv[:, d:], kmask,
+                  num_heads, head_dim, out_ref)
 
 
 def _pallas_forward(qkv, mask, num_heads, interpret):
@@ -212,27 +210,15 @@ def _fused_ln_kernel(num_heads: int, head_dim: int, eps: float,
     x = (x + b_ref[0]).astype(out_ref.dtype)  # (S, 3·H·Dh)
 
     kmask = mask_ref[0] > 0
-    scale = 1.0 / (head_dim ** 0.5)
-    for h in range(num_heads):
-        q = x[:, h * head_dim:(h + 1) * head_dim]
-        k = x[:, d + h * head_dim:d + (h + 1) * head_dim]
-        v = x[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        logits = jnp.where(kmask, logits * scale, NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
-        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
+    _attend_heads(x[:, :d], x[:, d:2 * d], x[:, 2 * d:], kmask,
+                  num_heads, head_dim, out_ref)
 
 
-def fused_ln_attention(ln_p, qkv_p, x, mask, num_heads, eps,
-                       interpret: bool = False):
-    """Inference-only fusion: LayerNorm(x) → QKV → attention, one kernel.
-    Falls back must be handled by the caller (kernel_plan gates capacity;
-    weights must be the plain fp32/bf16 {'w','b'} form)."""
+def _pallas_fused_ln(ln_p, qkv_p, x, mask, num_heads, eps,
+                     interpret: bool = False):
+    """LayerNorm(x) → QKV → attention, one kernel.  Capacity must be
+    gated by the caller (fused_ln_fits); weights must be the plain
+    fp32/bf16 {'w','b'} form."""
     b, s, d = x.shape
     head_dim = d // num_heads
     w = qkv_p["w"].astype(x.dtype)
@@ -265,9 +251,57 @@ def fused_ln_attention(ln_p, qkv_p, x, mask, num_heads, eps,
       mask.astype(jnp.int32)[:, None, :])
 
 
+def _xla_ln_attention(ln_p, qkv_p, x, mask, num_heads, eps):
+    """XLA reference of the fused-LN kernel's math (backward remat)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * ln_p["scale"] + ln_p["bias"]).astype(x.dtype)
+    qkv = (jnp.dot(xn, qkv_p["w"].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+           + qkv_p["b"]).astype(x.dtype)
+    return _xla_attention(qkv, mask, num_heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_ln_attention(ln_p, qkv_p, x, mask, num_heads, eps,
+                       interpret: bool = False):
+    """LN + QKV + all-heads attention in one kernel (pre out-proj output).
+    Differentiable: the backward remats LN+QKV+attention in XLA (grads for
+    ln/qkv params and x; float0 for the integer mask)."""
+    return _pallas_fused_ln(ln_p, qkv_p, x, mask, num_heads, eps, interpret)
+
+
+def _fused_ln_fwd(ln_p, qkv_p, x, mask, num_heads, eps, interpret):
+    out = _pallas_fused_ln(ln_p, qkv_p, x, mask, num_heads, eps, interpret)
+    return out, (ln_p, qkv_p, x, mask)
+
+
+def _fused_ln_bwd(num_heads, eps, interpret, residuals, g):
+    import numpy as np
+
+    ln_p, qkv_p, x, mask = residuals
+    _, vjp = jax.vjp(
+        lambda lp, qp, xx: _xla_ln_attention(lp, qp, xx, mask, num_heads, eps),
+        ln_p, qkv_p, x)
+    d_ln, d_qkv, d_x = vjp(g.astype(x.dtype))
+    if jnp.issubdtype(mask.dtype, jnp.integer):
+        d_mask = np.zeros(mask.shape, jax.dtypes.float0)
+    else:
+        d_mask = jnp.zeros_like(mask)
+    return d_ln, d_qkv, d_x, d_mask
+
+
+fused_ln_attention.defvjp(_fused_ln_fwd, _fused_ln_bwd)
+
+
 def fused_ln_fits(seq: int, d_model: int, dtype) -> bool:
     """Capacity: x in + out blocks + resident weights (all double-buffered)
-    + in-register QKV + fp32 logits + probs."""
+    + in-register QKV + fp32 logits + probs.  The model intentionally
+    omits the transient fp32 dot accumulator / LN temporaries — Mosaic
+    reuses those buffers; empirically validated on v5e at the edge cases
+    this admits: fp32 500/768 and bf16 600/768 both compile and run."""
     esize = jnp.dtype(dtype).itemsize
     blocks = (2 * seq * d_model * esize            # x + out
               + d_model * 3 * d_model * esize)     # w_qkv (revisited)
@@ -278,8 +312,8 @@ def fused_ln_fits(seq: int, d_model: int, dtype) -> bool:
 def try_fused_ln_attention(ln_p, attn_p, x, mask, num_heads, eps, dtype):
     """→ attention output (pre out-proj) via the LN+QKV+attention kernel,
     or None when ineligible (shard_map manual axes, int8 weights, capacity,
-    or a plan that isn't one-shot).  INFERENCE ONLY — no vjp is defined;
-    training paths must keep the unfused route."""
+    or a plan that isn't one-shot).  Differentiable (XLA-remat backward),
+    but training paths keep the unfused route for dropout support."""
     if bool(getattr(jax.typeof(x), "vma", None)):
         return None
     if "w" not in attn_p["qkv"]:  # int8 serving form — dequant path instead
@@ -293,7 +327,7 @@ def try_fused_ln_attention(ln_p, attn_p, x, mask, num_heads, eps, dtype):
         return None
     return fused_ln_attention(ln_p, attn_p["qkv"], x.astype(compute_dtype),
                               mask, num_heads, eps,
-                              interpret=jax.default_backend() != "tpu")
+                              jax.default_backend() != "tpu")
 
 
 def _bwd_kernel(num_heads: int, head_dim: int,
@@ -316,13 +350,7 @@ def _bwd_kernel(num_heads: int, head_dim: int,
         v = x[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
         go = g[:, h * head_dim:(h + 1) * head_dim]
 
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        logits = jnp.where(kmask, logits * scale, NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)          # (S, S) fp32
+        p = _head_softmax(q, k, kmask, head_dim)             # (S, S) fp32
 
         pb = p.astype(x.dtype)
         dv = jax.lax.dot_general(pb, go, (((0,), (0,)), ((), ())),

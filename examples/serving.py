@@ -43,10 +43,18 @@ def main():
     engine = CacoEngine(cfg, params, tokenizer=tokenizer,
                         dtype=jnp.bfloat16, quantize_int8=args.int8)
 
-    # ingest the gallery (streams: any iterable works, bounded host RAM)
+    # ingest the gallery (streams: any iterable works, bounded host RAM);
+    # restore a persisted gallery when one exists at --gallery_path
+    import os
+
     wavs = [load_audio(path) for path in args.wavs]
-    gallery = GalleryIndex(cfg.projection_size,
-                           logit_scale=float(np.asarray(params["logit_scale"])))
+    if args.gallery_path and os.path.exists(args.gallery_path):
+        gallery = GalleryIndex.load(args.gallery_path)
+        print(f"gallery restored from {args.gallery_path} ({gallery.size} rows)")
+    else:
+        gallery = GalleryIndex(
+            cfg.projection_size,
+            logit_scale=float(np.asarray(params["logit_scale"])))
     gallery.add(engine.embed_audio(wavs), labels=list(args.wavs))
 
     # text → audio retrieval over the device-resident gallery

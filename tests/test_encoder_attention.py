@@ -204,3 +204,44 @@ def test_grad_through_custom_vjp_uses_kernel_path():
 
     # over-budget seqs fall back to XLA remat (no crash)
     assert not ea.bwd_fits_vmem(3000, 768, jnp.float32)
+
+
+def test_fused_ln_attention_grads_and_parity():
+    """Fused LN+QKV+attention: matches the unfused composition and is
+    differentiable (XLA-remat vjp) — review-fix regression guard."""
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    d, h, b, s = 32, 2, 2, 24
+    rng = jax.random.PRNGKey(20)
+    x = jax.random.normal(rng, (b, s, d))
+    mask = jnp.ones((b, s), jnp.int32).at[1, 15:].set(0)
+    ln_p = {"scale": jnp.ones((d,)) * 1.1, "bias": jnp.ones((d,)) * 0.1}
+    qkv_p = {"w": jax.random.normal(jax.random.PRNGKey(21), (d, 3 * d)) * 0.1,
+             "b": jnp.zeros((3 * d,))}
+
+    fused = ea.fused_ln_attention(ln_p, qkv_p, x, mask, h, 1e-6, True)
+    ref = ea._xla_ln_attention(ln_p, qkv_p, x, mask, h, 1e-6)
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(fused)[m], np.asarray(ref)[m],
+                               atol=2e-5)
+
+    gx = jax.grad(lambda xx: ea.fused_ln_attention(
+        ln_p, qkv_p, xx, mask, h, 1e-6, True).sum())(x)
+    gx_ref = jax.grad(lambda xx: ea._xla_ln_attention(
+        ln_p, qkv_p, xx, mask, h, 1e-6).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=2e-5)
+
+    # grad through the full inference-mode encoder path (det + flash) works
+    from cacophony_tpu.configs import AudioEncoderConfig
+    from cacophony_tpu.models.audio import audio_encoder_apply, audio_encoder_init
+
+    cfg = AudioEncoderConfig(hidden_size=32, num_layers=1, num_heads=2,
+                             intermediate_size=64, patch_size=256,
+                             num_freq_patches=8)
+    p = audio_encoder_init(jax.random.PRNGKey(22), cfg)
+    patches = jax.random.normal(jax.random.PRNGKey(23), (1, 8, 256))
+    inds = jnp.zeros((1, 8), jnp.int32)
+    am = jnp.ones((1, 8), jnp.int32)
+    g = jax.grad(lambda pp: audio_encoder_apply(
+        p, cfg, pp, inds, inds, am).sum())(patches)
+    assert np.isfinite(np.asarray(g)).all()
