@@ -48,8 +48,11 @@ from cacophony_tpu.frontend import wav_to_patches
 from cacophony_tpu.models.caco import caco_init, decode, get_audio_embedding
 from cacophony_tpu.utils.flops import device_peak_flops, pipeline_matmul_flops
 
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(_HERE, "bench_baseline.json")  # committed, read-only
+# Fresh measurements land in the gitignored cache dir so a bench run never
+# dirties the checkout (advisor r2).
+BASELINE_FILE_LOCAL = os.path.join(_HERE, ".jax_cache", "bench_baseline.json")
 
 BATCH = 128  # bf16 sweep on v5e (r2 kernel): B=128→1421 clips/s, B=256→1335
 ITERS = 8
@@ -139,14 +142,16 @@ def _decode_throughput(device, num_streams, max_length, bf16=True):
 
 
 def _load_stored_baseline():
-    with open(BASELINE_FILE) as f:
+    path = BASELINE_FILE_LOCAL if os.path.exists(BASELINE_FILE_LOCAL) else BASELINE_FILE
+    with open(path) as f:
         stored = json.load(f)
     return float(stored["cpu_fp32_b1_clips_per_s"]), f"stored:{stored.get('measured', '?')}"
 
 
 def _store_baseline(clips_per_s):
     try:
-        with open(BASELINE_FILE, "w") as f:
+        os.makedirs(os.path.dirname(BASELINE_FILE_LOCAL), exist_ok=True)
+        with open(BASELINE_FILE_LOCAL, "w") as f:
             json.dump({
                 "cpu_fp32_b1_clips_per_s": round(clips_per_s, 4),
                 "measured": time.strftime("%Y-%m-%d"),

@@ -78,7 +78,7 @@ def audio_rows_for(num_frames: int, front: FrontendConfig) -> int:
 # Per-grid-step VMEM budget; pipelined blocks double-buffer (count twice).
 # Shared with the attention kernels so device-generation retuning happens
 # in one place.
-from cacophony_tpu.ops.encoder_attention import VMEM_BUDGET_BYTES  # noqa: E402
+from cacophony_tpu.ops import encoder_attention as _enc_attn  # noqa: E402
 
 
 def fits_vmem(num_frames: int, front: FrontendConfig) -> bool:
@@ -91,7 +91,9 @@ def fits_vmem(num_frames: int, front: FrontendConfig) -> bool:
     blocks = (rows * front.hop_length * 4          # audio in
               + num_frames * front.num_mels * 4)   # log-mel out
     scratch = num_frames * 2 * nbins_pad * 4 * 2   # acc + magnitude
-    return 2 * blocks + scratch <= VMEM_BUDGET_BYTES
+    # Read the budget through the module so runtime retuning of
+    # encoder_attention.VMEM_BUDGET_BYTES reaches both kernels.
+    return 2 * blocks + scratch <= _enc_attn.VMEM_BUDGET_BYTES
 
 
 def buffer_to_rows(bufs: jnp.ndarray, num_frames: int, front: FrontendConfig):
@@ -167,6 +169,14 @@ def fused_log_mel(
     else:
         c_hi, c_lo = c, np.zeros((1, c.shape[1]), np.float32)  # lo unused
 
+    # mirror shard_map manual axes into the output type so the kernel runs
+    # per-shard under a mesh (see ops/encoder_attention._pallas_forward)
+    vma = getattr(jax.typeof(audio_rows), "vma", None)
+    out_shape = (jax.ShapeDtypeStruct((b, num_frames, front.num_mels),
+                                      jnp.float32, vma=vma)
+                 if vma else jax.ShapeDtypeStruct(
+                     (b, num_frames, front.num_mels), jnp.float32))
+
     kern = functools.partial(_kernel, front, num_frames, nbins_pad, fast_dft)
     return pl.pallas_call(
         kern,
@@ -180,8 +190,7 @@ def fused_log_mel(
         ],
         out_specs=pl.BlockSpec((1, num_frames, front.num_mels),
                                lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, num_frames, front.num_mels),
-                                       jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(audio_rows.astype(jnp.float32), jnp.asarray(c_hi), jnp.asarray(c_lo),
       jnp.asarray(mel))

@@ -130,14 +130,21 @@ def _postprocess_confs() -> List[Dict]:
 
 def _select_event_postprocess(probs: np.ndarray, metadata: Dict,
                               target_events: Dict, fname_ts,
-                              idx_to_label) -> Tuple[float, Dict]:
+                              idx_to_label,
+                              strict_reference_bugs: bool = False,
+                              ) -> Tuple[float, Dict]:
     """One validation epoch of the reference's EventPredictionModel
     (_score_epoch_end, task_predictions.py:471-516): extract events for
     EVERY postprocessing config, score each with the primary metric
-    (NaN → 0.0), pick the best by descending (score, postprocessing) —
-    the reference's unconditional sort(reverse=True), which it applies
-    even to minimizing primaries. Returns (primary score, postprocess)."""
+    (NaN → 0.0), pick the best.
+
+    The reference sorts (score, postprocessing) descending UNCONDITIONALLY
+    — even when the primary metric minimizes (segment_1s_er), where it
+    picks the WORST postprocess. Default here respects the metric
+    direction; pass strict_reference_bugs=True to reproduce the
+    reference's selection bit-for-bit. Returns (primary score, postprocess)."""
     primary_fn = score_lib.EVENT_SCORES[metadata["evaluation"][0]]
+    sign = 1.0 if strict_reference_bugs else _primary_sign(metadata)
     scored = []
     for post in _postprocess_confs():
         pred_events = get_events_for_all_files(probs, fname_ts, idx_to_label,
@@ -145,13 +152,14 @@ def _select_event_postprocess(probs: np.ndarray, metadata: Dict,
         s = primary_fn(pred_events, target_events)
         if np.isnan(s):
             s = 0.0
-        scored.append((s, tuple(sorted(post.items()))))
+        scored.append((sign * s, s, tuple(sorted(post.items()))))
     scored.sort(reverse=True)
-    return scored[0][0], dict(scored[0][1])
+    return scored[0][1], dict(scored[0][2])
 
 
 def train_probe(x_train, y_train, x_valid, y_valid, metadata, conf,
                 seed: int = 42, event_ctx: Optional[Dict] = None,
+                strict_reference_bugs: bool = False,
                 ) -> Tuple[MLPProbe, float, Optional[Dict]]:
     """Train one probe with early stopping on the validation PRIMARY score.
 
@@ -199,7 +207,8 @@ def train_probe(x_train, y_train, x_valid, y_valid, metadata, conf,
         if is_event:
             val, post = _select_event_postprocess(
                 probs, metadata, event_ctx["target_events"],
-                event_ctx["fname_ts"], event_ctx["idx_to_label"])
+                event_ctx["fname_ts"], event_ctx["idx_to_label"],
+                strict_reference_bugs=strict_reference_bugs)
         else:
             name = metadata["evaluation"][0]
             val = score_lib.SCENE_SCORES[name](probs, y_valid)
@@ -336,6 +345,7 @@ def task_predictions(
     grid_points: int = 8,
     seed: int = 42,
     gpus: None = None,  # accepted for CLI parity; training is host-side
+    strict_reference_bugs: bool = False,
 ) -> Dict:
     """Full prediction phase for one task directory
     (reference task_predictions.py:1273-1447):
@@ -399,7 +409,8 @@ def task_predictions(
             "model": None, "post": None}
     for conf in confs:
         model, val, post = train_probe(x_tr, y_tr, *data[valid0], metadata,
-                                       conf, seed=seed, event_ctx=ctx0)
+                                       conf, seed=seed, event_ctx=ctx0,
+                                       strict_reference_bugs=strict_reference_bugs)
         logger.info("conf %s → valid %.4f", conf, val)
         if sign * val > best["signed"]:
             best = {"signed": sign * val, "score": val, "conf": conf,
@@ -415,7 +426,8 @@ def task_predictions(
             x_tr, y_tr = _concat_splits([data[s] for s in train_ss])
             model, _, post = train_probe(x_tr, y_tr, *data[valid_s], metadata,
                                          best["conf"], seed=seed,
-                                         event_ctx=_event_ctx(valid_s))
+                                         event_ctx=_event_ctx(valid_s),
+                                         strict_reference_bugs=strict_reference_bugs)
         per_fold.append(_score_model(model, embed_dir, metadata, test_s,
                                      data[test_s], idx_to_label,
                                      postprocess=post))

@@ -31,7 +31,7 @@ def _check_embedding_dims(task_dir: Path):
 
 
 def run(embeddings_dir: str, task: str = "all", grid: str = "default",
-        grid_points: int = 8):
+        grid_points: int = 8, strict_reference_bugs: bool = False):
     root = Path(embeddings_dir)
     if task == "all":
         task_dirs = sorted(p for p in root.glob("*/*") if p.is_dir())
@@ -52,7 +52,8 @@ def run(embeddings_dir: str, task: str = "all", grid: str = "default",
         try:
             _check_embedding_dims(task_dir)
             result = task_predictions(str(task_dir), grid=GRIDS[grid],
-                                      grid_points=grid_points)
+                                      grid_points=grid_points,
+                                      strict_reference_bugs=strict_reference_bugs)
             print(f"{task_dir.name}: {result['test']}")
         finally:
             logging.getLogger("cacophony_tpu.hear").removeHandler(handler)
@@ -64,8 +65,13 @@ def main(argv=None):
     p.add_argument("--task", default="all")
     p.add_argument("--grid", choices=sorted(GRIDS), default="default")
     p.add_argument("--grid-points", type=int, default=8)
+    p.add_argument("--strict-reference-bugs", action="store_true",
+                   help="reproduce the reference's postprocess selection "
+                        "bit-for-bit, incl. its unconditional descending "
+                        "sort even for minimizing primaries (segment ER)")
     a = p.parse_args(argv)
-    run(a.embeddings_dir, a.task, a.grid, a.grid_points)
+    run(a.embeddings_dir, a.task, a.grid, a.grid_points,
+        strict_reference_bugs=a.strict_reference_bugs)
 
 
 if __name__ == "__main__":

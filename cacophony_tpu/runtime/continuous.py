@@ -127,9 +127,12 @@ def _step_body(cfg: CacoConfig, eos: int, pad: int, temperature: float,
     sampled = jax.random.categorical(
         rng, logits[:, 0] / temperature, -1).astype(jnp.int32)
     new_index = state.index + g  # inactive slots don't advance
+    # Guarded write: finished rows are immutable regardless of tokenizer id
+    # layout (an unguarded `sampled*g` kept overwriting the EOS position of
+    # drained slots with id 0, working only because 0 is skip-decoded).
     new_ids = jax.vmap(
-        lambda row, i, tok: row.at[i].set(tok)
-    )(state.input_ids, jnp.minimum(new_index, max_length - 1), sampled * g)
+        lambda row, i, tok, gg: row.at[i].set(jnp.where(gg > 0, tok, row[i]))
+    )(state.input_ids, jnp.minimum(new_index, max_length - 1), sampled, g)
     still = (sampled != eos).astype(jnp.int32) * \
             (new_index < max_length - 1).astype(jnp.int32)
     return SlotState(

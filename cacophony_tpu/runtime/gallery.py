@@ -71,6 +71,11 @@ class GalleryIndex:
     def capacity(self) -> int:
         return 0 if self._store is None else self._store.shape[0]
 
+    @property
+    def labels(self) -> List:
+        """Row labels in insertion order (read-only view for dedup checks)."""
+        return list(self._labels)
+
     def _place(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.mesh is not None:
             spec = P("dp") if x.ndim == 1 else P("dp", None)

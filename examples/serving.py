@@ -47,7 +47,6 @@ def main():
     # restore a persisted gallery when one exists at --gallery_path
     import os
 
-    wavs = [load_audio(path) for path in args.wavs]
     if args.gallery_path and os.path.exists(args.gallery_path):
         gallery = GalleryIndex.load(args.gallery_path)
         print(f"gallery restored from {args.gallery_path} ({gallery.size} rows)")
@@ -55,11 +54,18 @@ def main():
         gallery = GalleryIndex(
             cfg.projection_size,
             logit_scale=float(np.asarray(params["logit_scale"])))
-    gallery.add(engine.embed_audio(wavs), labels=list(args.wavs))
+    # Dedupe by label so repeated runs against a restored gallery don't
+    # re-add (and grow) the same rows each time (advisor r2).
+    known = set(gallery.labels)
+    new_paths = [p for p in args.wavs if p not in known]
+    wavs = [load_audio(path) for path in args.wavs]
+    if new_paths:
+        new_wavs = [w for p, w in zip(args.wavs, wavs) if p in set(new_paths)]
+        gallery.add(engine.embed_audio(new_wavs), labels=new_paths)
 
     # text → audio retrieval over the device-resident gallery
     q_emb = engine.embed_texts(args.queries)
-    scores, _, labels = gallery.search(q_emb, k=min(3, len(wavs)))
+    scores, _, labels = gallery.search(q_emb, k=min(3, gallery.size))
     for qi, query in enumerate(args.queries):
         print(f"{query!r}: " + ", ".join(
             f"{lbl} ({s:.2f})" for lbl, s in zip(labels[qi], scores[qi])))

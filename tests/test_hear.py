@@ -341,6 +341,36 @@ def test_postprocess_selection_hand_computed(monkeypatch):
     assert post["min_duration"] == 150
 
 
+def test_postprocess_selection_minimizing_primary(monkeypatch):
+    """segment_1s_er MINIMIZES.  Default selection respects that (picks
+    the lower ER); strict_reference_bugs=True reproduces the reference's
+    unconditional descending sort (task_predictions.py:509-516), which
+    picks the WORST postprocess for minimizing primaries."""
+    from cacophony_tpu.hear import predictions as P
+
+    monkeypatch.setattr(P, "EVENT_POSTPROCESSING_GRID",
+                        {"median_filter_ms": [50], "min_duration": [100, 300]})
+    # event (200, 400) ms, duration 200: min_duration=100 keeps it (ER 0),
+    # min_duration=300 drops it (ER 1 — one deletion)
+    ts = [float(t) for t in range(0, 1000, 100)]
+    fname_ts = [["clip.wav", t] for t in ts]
+    probs = np.zeros((len(ts), 1), np.float32)
+    probs[2:5, 0] = 0.9
+    metadata = {"evaluation": ["segment_1s_er"], "embedding_type": "event"}
+    targets = {"clip.wav": [{"label": "A", "start": 200.0, "end": 400.0}]}
+
+    score, post = P._select_event_postprocess(
+        probs, metadata, targets, fname_ts, {0: "A"})
+    assert score == pytest.approx(0.0)        # the fixed default: lowest ER
+    assert post["min_duration"] == 100
+
+    score, post = P._select_event_postprocess(
+        probs, metadata, targets, fname_ts, {0: "A"},
+        strict_reference_bugs=True)
+    assert score == pytest.approx(1.0)        # bug-compatible: highest ER
+    assert post["min_duration"] == 300
+
+
 def test_tokenizer_underscore():
     from cacophony_tpu.data.tokenizer import _PRETOKEN_RE
 
