@@ -98,17 +98,20 @@ def multi_head_attention(
         inside_shard_map = bool(getattr(jax.typeof(x), "vma", None))
         compute_dtype = dtype if dtype is not None else x.dtype
         plan = kernel_plan(s, d, compute_dtype)
-        use_kernel = (flash_mask is not None and kv_cache is None
-                      and dropout_rate == 0.0 and not inside_shard_map
-                      and plan is not None)
         # compiled kernel on TPU only; interpret (plain jax ops) everywhere
         # else — a GPU/METAL backend can't lower pltpu kernels
         interp = jax.default_backend() != "tpu"
         # Bespoke VMEM attention kernel (encoder shapes): no head split,
         # no layout copies, no HBM logits; scaling/masking/softmax
-        # in-kernel.  Under shard_map's manual axes the einsum path runs
-        # instead (interpret-mode pallas trips vma checks there; the
-        # compiled kernel per-shard is future work — see ROADMAP).
+        # in-kernel.  Runs per-shard inside shard_map too (vma is mirrored
+        # into the pallas out_shape) — a mesh keeps the kernel win.  The
+        # one hole is vma-CHECKED interpret mode: the pallas interpret
+        # evaluator mixes varying and invariant operands in dynamic_slice
+        # and trips the vma checker, so CPU shard_map callers either get
+        # the einsum path here or pass check_vma=False (CacoEngine does).
+        use_kernel = (flash_mask is not None and kv_cache is None
+                      and dropout_rate == 0.0 and plan is not None
+                      and not (inside_shard_map and interp))
         if use_kernel and plan[0] == "one_shot":
             qkv = dense(params["qkv"], x, dtype)
             out = encoder_attention(qkv, flash_mask, num_heads, interp)

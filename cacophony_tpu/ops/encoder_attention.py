@@ -223,6 +223,11 @@ def _pallas_fused_ln(ln_p, qkv_p, x, mask, num_heads, eps,
     head_dim = d // num_heads
     w = qkv_p["w"].astype(x.dtype)
 
+    # mirror shard_map manual axes into the output type (see _pallas_forward)
+    vma = getattr(jax.typeof(x), "vma", None)
+    out_shape = (jax.ShapeDtypeStruct((b, s, d), x.dtype, vma=vma)
+                 if vma else jax.ShapeDtypeStruct((b, s, d), x.dtype))
+
     kern = functools.partial(_fused_ln_kernel, num_heads, head_dim, eps)
     return pl.pallas_call(
         kern,
@@ -243,7 +248,7 @@ def _pallas_fused_ln(ln_p, qkv_p, x, mask, num_heads, eps,
         ],
         out_specs=pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(x, w, qkv_p["b"].astype(jnp.float32)[None],
       ln_p["scale"].astype(jnp.float32)[None],
@@ -314,7 +319,10 @@ def try_fused_ln_attention(ln_p, attn_p, x, mask, num_heads, eps, dtype):
     or None when ineligible (shard_map manual axes, int8 weights, capacity,
     or a plan that isn't one-shot).  Differentiable (XLA-remat backward),
     but training paths keep the unfused route for dropout support."""
-    if bool(getattr(jax.typeof(x), "vma", None)):
+    interp = jax.default_backend() != "tpu"
+    if interp and bool(getattr(jax.typeof(x), "vma", None)):
+        # vma-checked interpret mode can't run pallas (see ops/attention.py);
+        # compiled per-shard under shard_map is fine
         return None
     if "w" not in attn_p["qkv"]:  # int8 serving form — dequant path instead
         return None
@@ -326,8 +334,7 @@ def try_fused_ln_attention(ln_p, attn_p, x, mask, num_heads, eps, dtype):
     if not fused_ln_fits(s, d, compute_dtype):
         return None
     return fused_ln_attention(ln_p, attn_p["qkv"], x.astype(compute_dtype),
-                              mask, num_heads, eps,
-                              jax.default_backend() != "tpu")
+                              mask, num_heads, eps, interp)
 
 
 def _bwd_kernel(num_heads: int, head_dim: int,

@@ -8,8 +8,15 @@ eval_caco.py:85-95) with:
   encoder under `jit` — the mel frontend never stalls the MXU
 - fixed-size batch buckets (pad + mask + slice) so shapes are static and
   nothing recompiles as dataset sizes vary
-- optional ('dp','tp') mesh: params tp-sharded, batches dp-sharded,
-  gallery scoring sharded over the mesh
+- optional mesh: embedding towers run inside `shard_map` with params
+  REPLICATED and the batch split over every mesh device — the reference's
+  pmap design (eval_caco.py:53-55) expressed TPU-natively.  Each shard
+  runs the full single-chip fast path, so the bespoke Pallas kernels
+  (attention + DSP frontend) keep their measured win under a mesh
+  (round 2 silently fell back to the einsum path there).  Megatron tp
+  sharding stays the TRAINING layout (parallel/mesh.py); an 85M tower
+  gains nothing from tp at serving time.  Gallery scoring stays GSPMD
+  (gallery rows sharded over 'dp').
 - KV-cached captioning decode compiled once per (max_length, temperature)
 """
 
@@ -30,7 +37,7 @@ from cacophony_tpu.models.caco import (
     get_audio_embedding,
     get_text_embedding,
 )
-from cacophony_tpu.parallel.mesh import shard_batch, shard_params
+from cacophony_tpu.parallel.mesh import shard_batch, shard_params  # noqa: F401 (shard_params: training layout, re-exported for callers)
 
 
 class CacoEngine:
@@ -77,6 +84,11 @@ class CacoEngine:
         self.batch_size = batch_size
         self.tokenizer = tokenizer
         self.mesh = mesh
+        if mesh is not None and batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide evenly over the "
+                f"{mesh.size}-device mesh (each device runs the full model "
+                f"on its batch shard)")
         if quantize_int8:
             # quality-gated int8 serving: audio tower + pooler weights
             # per-channel int8, activations dynamically quantized per token
@@ -85,21 +97,22 @@ class CacoEngine:
 
             params = quantize_caco_audio_tower(params)
         self.quantize_int8 = quantize_int8
-        self.params = shard_params(params, mesh) if mesh is not None else params
-        if fused_frontend is None:
-            # compiled kernel needs a TPU backend, and under a GSPMD mesh
-            # the pallas custom-call has no partitioning rule (shard_map
-            # wrapping is future work — see ROADMAP)
-            fused_frontend = jax.default_backend() == "tpu" and mesh is None
-        self.fused_frontend = fused_frontend
-        if mesh is not None and cfg.audio.flash_attention:
-            # same GSPMD caveat for the attention kernel: fall back to the
-            # einsum path when serving over a mesh
-            import dataclasses
+        if mesh is not None:
+            # serving = replicated params, data-parallel over ALL mesh
+            # devices (the reference's flax.jax_utils.replicate + pmap,
+            # eval_caco.py:53-55).  shard_params' Megatron tp layout is the
+            # training-path story.
+            from jax.sharding import NamedSharding, PartitionSpec
 
-            cfg = dataclasses.replace(
-                cfg, audio=dataclasses.replace(cfg.audio, flash_attention=False))
-            self.cfg = cfg
+            self.params = jax.device_put(
+                params, NamedSharding(mesh, PartitionSpec()))
+        else:
+            self.params = params
+        if fused_frontend is None:
+            # compiled kernel needs a TPU backend; runs per-shard under the
+            # engine's shard_map when a mesh is configured
+            fused_frontend = jax.default_backend() == "tpu"
+        self.fused_frontend = fused_frontend
 
     def _wav_to_patch_batch(self, bufs, lens):
         """Batched wav→patch-dict: fused Pallas kernel or XLA chain."""
@@ -114,11 +127,28 @@ class CacoEngine:
 
     # ------------------------------------------------------------ compiled
 
+    def _data_parallel(self, fn, n_batch_args: int, n_replicated: int = 1):
+        """Wrap `fn(*replicated, *batched)` in shard_map over the mesh: the
+        first n_replicated args replicate (params), the rest split their
+        leading axis over EVERY mesh axis.  Inside, each shard runs the
+        unmodified single-chip program — Pallas kernels included.
+        check_vma=False: the pallas interpret evaluator (CPU tests) trips
+        the vma checker on mixed-variance dynamic_slice operands; compiled
+        TPU lowering is unaffected."""
+        if self.mesh is None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+
+        batch_axes = P(tuple(self.mesh.axis_names))
+        return jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=tuple([P()] * n_replicated + [batch_axes] * n_batch_args),
+            out_specs=batch_axes, check_vma=False)
+
     @functools.cached_property
     def _audio_fn(self):
         cfg = self.cfg
 
-        @jax.jit
         def fn(params, bufs, lens):
             batch = self._wav_to_patch_batch(bufs, lens)
             emb, _ = get_audio_embedding(
@@ -127,26 +157,24 @@ class CacoEngine:
             )
             return emb
 
-        return fn
+        return jax.jit(self._data_parallel(fn, n_batch_args=2))
 
     @functools.cached_property
     def _patches_fn(self):
-        @jax.jit
         def fn(bufs, lens):
             return self._wav_to_patch_batch(bufs, lens)
 
-        return fn
+        return jax.jit(self._data_parallel(fn, 2, n_replicated=0))
 
     @functools.cached_property
     def _text_fn(self):
         cfg = self.cfg
 
-        @jax.jit
         def fn(params, ids, mask):
             emb, _ = get_text_embedding(params, cfg, ids, mask)
             return emb
 
-        return fn
+        return jax.jit(self._data_parallel(fn, n_batch_args=2))
 
     @functools.cached_property
     def _score_fn(self):
@@ -219,7 +247,13 @@ class CacoEngine:
 
     def _device(self, tree):
         if self.mesh is not None:
-            return shard_batch(tree, self.mesh)
+            # leading axis over EVERY mesh axis — matches _data_parallel's
+            # in_specs so jit never reshards
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sh), tree)
         return tree
 
     # -------------------------------------------------------------- public

@@ -122,6 +122,47 @@ def test_engine_with_mesh_matches_single_device(rng):
     np.testing.assert_allclose(got, expected, atol=1e-5)
 
 
+def test_engine_mesh_keeps_kernels(rng):
+    """Round-3 regression for VERDICT §2.5: a mesh must NOT silently
+    downgrade the bespoke kernels.  Engine with flash_attention (cfg
+    default) AND the fused DSP frontend forced on runs both Pallas kernels
+    per-shard inside shard_map on the 8-device CPU mesh, matching the
+    single-device kernel path."""
+    from cacophony_tpu.parallel import make_mesh
+
+    cfg = configs.caco_tiny(vocab_size=300)
+    assert cfg.audio.flash_attention  # kernel path is the default
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    wavs = [rng.randn(6000).astype(np.float32) for _ in range(8)]
+    plain = CacoEngine(cfg, params, tokenizer=_byte_tokenizer(),
+                       buffer_seconds=1.0, batch_size=8, fused_frontend=True)
+    expected = plain.embed_audio(wavs)
+
+    mesh = make_mesh(dp=4, tp=2)  # both axes fold into data parallelism
+    with mesh:
+        sharded = CacoEngine(cfg, params, tokenizer=_byte_tokenizer(),
+                             buffer_seconds=1.0, batch_size=8, mesh=mesh,
+                             fused_frontend=True)
+        assert sharded.fused_frontend  # not flipped off by the mesh
+        assert sharded.cfg.audio.flash_attention
+        got = sharded.embed_audio(wavs)
+        texts = ["a dog", "rain", "a trumpet", "wind"]
+        t_plain = plain.embed_texts(texts)
+        t_mesh = sharded.embed_texts(texts)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+    np.testing.assert_allclose(t_mesh, t_plain, atol=1e-5)
+
+
+def test_engine_mesh_rejects_indivisible_batch():
+    from cacophony_tpu.parallel import make_mesh
+
+    cfg = configs.caco_tiny(vocab_size=300)
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=8, tp=1)
+    with pytest.raises(ValueError, match="divide evenly"):
+        CacoEngine(cfg, params, batch_size=6, mesh=mesh)
+
+
 def test_eval_cli_parser_defaults():
     from cacophony_tpu.eval.cli import build_parser
 
