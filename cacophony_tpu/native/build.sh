@@ -5,5 +5,5 @@ cd "$(dirname "$0")"
 # no -march=native: the .so may outlive the build host (shared FS /
 # container images); the decoder is IO-bound anyway
 g++ -O3 -std=c++17 -shared -fPIC -pthread \
-    wavio.cpp -o libcacoph_wavio.so
+    wavio.cpp flacio.cpp -o libcacoph_wavio.so
 echo "built $(pwd)/libcacoph_wavio.so"

@@ -1,10 +1,11 @@
-// Native WAV decoder + batch loader for the host IO path.
+// Native WAV/FLAC decoder + batch loader for the host IO path.
 //
 // Replaces the reference's soundfile/libsndfile dependency
 // (src/eval/eval_utils.py:6-16) on the decode side: RIFF/WAVE parsing for
-// PCM 8/16/24/32-bit and IEEE float32/64, mono mixdown, and a pthread pool
-// for decoding evaluation batches in parallel with device compute.
-// Exposed to Python via a plain C ABI (ctypes) — no pybind11 dependency.
+// PCM 8/16/24/32-bit and IEEE float32/64, FLAC (flacio.cpp, dispatched by
+// file magic), mono mixdown, and a pthread pool for decoding evaluation
+// batches in parallel with device compute.  Exposed to Python via a plain
+// C ABI (ctypes) — no pybind11 dependency.
 //
 // Build: cacophony_tpu/native/build.sh (g++ -O3 -shared -fPIC).
 
@@ -14,6 +15,11 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+
+namespace cacoph_flac {
+bool decode(const uint8_t* buf, size_t len, float** out_data, int64_t* out_n,
+            int32_t* out_rate);
+}
 
 namespace {
 
@@ -127,6 +133,15 @@ bool decode_wav_buffer(const uint8_t* buf, size_t len, Decoded* out) {
   return true;
 }
 
+bool decode_audio_buffer(const uint8_t* buf, size_t len, Decoded* out) {
+  if (len >= 4 && memcmp(buf, "fLaC", 4) == 0) {
+    out->ok = cacoph_flac::decode(buf, len, &out->data, &out->n,
+                                  &out->sample_rate) ? 1 : 0;
+    return out->ok != 0;
+  }
+  return decode_wav_buffer(buf, len, out);
+}
+
 bool decode_wav_file(const char* path, Decoded* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
@@ -137,14 +152,16 @@ bool decode_wav_file(const char* path, Decoded* out) {
   size_t got = fread(buf.data(), 1, (size_t)len, f);
   fclose(f);
   if (got != (size_t)len) return false;
-  return decode_wav_buffer(buf.data(), buf.size(), out);
+  return decode_audio_buffer(buf.data(), buf.size(), out);
 }
 
 }  // namespace
 
 extern "C" {
 
-// Decode one file. Returns 1 on success; caller must free with cacoph_free.
+// Decode one file (WAV or FLAC, by magic). Returns 1 on success; caller
+// must free with cacoph_free.  The name predates FLAC support; kept for
+// ABI stability.
 int cacoph_decode_wav(const char* path, float** data, int64_t* n,
                       int32_t* sample_rate) {
   Decoded d;

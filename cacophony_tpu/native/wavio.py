@@ -25,7 +25,10 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO):
+        stale = not os.path.exists(_SO) or any(
+            os.path.getmtime(os.path.join(_DIR, f)) > os.path.getmtime(_SO)
+            for f in os.listdir(_DIR) if f.endswith((".cpp", ".sh")))
+        if stale:
             subprocess.run(["bash", os.path.join(_DIR, "build.sh")],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
