@@ -76,21 +76,46 @@ def _spec_for(path: str, ndim: int):
     return P()
 
 
-def param_specs(params):
+def _drop_indivisible(spec: P, shape, mesh: Optional[Mesh]):
+    """Replicate any dim whose size doesn't divide its mesh axis.
+
+    device_put requires exact divisibility; the real checkpoint has such
+    dims (vocab 50265 is ODD, so neither the vocab-parallel head weight's
+    50265 dim nor its bias can shard over any power-of-two tp — found by
+    the full-size mesh materialization test; the 64-dim toy dryrun never
+    hit it).  Falling back to replication is correct and costs nothing in
+    FLOPs (each dp shard computes its own full-vocab logits); true
+    vocab-parallel cross-entropy would need Megatron-style vocab padding
+    to a tp multiple plus a masked loss — not worth it at this model
+    size."""
+    if mesh is None:
+        return spec
+    axes = []
+    for dim, ax in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        ok = ax is not None and dim % int(np.prod(
+            [mesh.shape[a] for a in ((ax,) if isinstance(ax, str) else ax)])) == 0
+        axes.append(ax if ok else None)
+    return P(*axes) if any(a is not None for a in axes) else P()
+
+
+def param_specs(params, mesh: Optional[Mesh] = None):
     """PartitionSpec tree for a param tree (tp rules; everything else
-    replicated)."""
+    replicated).  Pass the mesh to drop shardings a dim can't honor
+    (non-divisible sizes, e.g. the odd 50265 vocab bias under tp)."""
 
     def path_str(kp):
         return "/".join(getattr(k, "key", str(k)) for k in kp)
 
     return jax.tree_util.tree_map_with_path(
-        lambda kp, leaf: _spec_for(path_str(kp), np.ndim(leaf)), params
+        lambda kp, leaf: _drop_indivisible(
+            _spec_for(path_str(kp), np.ndim(leaf)), np.shape(leaf), mesh),
+        params,
     )
 
 
 def shard_params(params, mesh: Mesh):
     """Place a param tree on the mesh according to param_specs."""
-    specs = param_specs(params)
+    specs = param_specs(params, mesh)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

@@ -62,15 +62,14 @@ class SlotState(NamedTuple):
 # (per-instance closures would retrace on every construction — measured
 # ~1s+ of host tracing per run on the 16-layer scan while_loop).
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _prefill_many(cfg: CacoConfig, bos: int, max_length: int,
-                  params, state: SlotState, slots, valid, patch_batch):
-    """Encode P clips in ONE program and scatter into their slots.
-
-    slots: (P,) int32 target rows — padding entries point at the trash row
-    (num_slots) so one compiled shape serves any count.
-    valid: (P,) int32, 0 for padding (its slot stays inactive).
-    patch_batch: dict with leading dim P."""
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_many(cfg: CacoConfig, params, patch_batch):
+    """Audio encoder + cross-KV for a batch of P clips — the expensive half
+    of prefill, INDEPENDENT of slot state.  Dispatched as soon as requests
+    arrive, so the device runs it back-to-back with the in-flight decode
+    window instead of idling through a host round-trip (round-2 serialized
+    encode → scatter → step, leaving the device idle for the ~26 ms relay
+    sync + host batch assembly between windows)."""
     _, hidden = get_audio_embedding(
         params, cfg, patch_batch["audio_patches"],
         patch_batch["audio_time_inds"], patch_batch["audio_freq_inds"],
@@ -78,7 +77,24 @@ def _prefill_many(cfg: CacoConfig, bos: int, max_length: int,
     )
     ckv = precompute_cross_kv(params["decoder"]["blocks"], cfg.decoder,
                               hidden, dtype=cfg.dtype)
+    return {"k": ckv["k"], "v": ckv["v"],
+            "audio_mask": patch_batch["audio_mask"]}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _scatter_many(cfg: CacoConfig, bos: int, max_length: int,
+                  params, state: SlotState, slots, valid, enc):
+    """Scatter P pre-encoded requests into their slots (cheap; O(state)).
+
+    slots: (P,) int32 target rows — padding/unplaced entries point at the
+    trash row (num_slots) so one compiled shape serves any count.
+    valid: (P,) int32, 0 for padding/unplaced (its slot is untouched
+    except the trash row, which is never stepped or drained).
+    enc: _encode_many output with leading dim P (axis 1 for k/v)."""
     p = slots.shape[0]
+    # route invalid entries to the trash row so a subset of an encoded
+    # group can be placed now and the rest later
+    slots = jnp.where(valid > 0, slots, state.active.shape[0] - 1)
 
     def put_axis1(buf, new):  # (L, P, ...) rows → axis-1 scatter
         return buf.at[:, slots].set(new.astype(buf.dtype))
@@ -95,10 +111,10 @@ def _prefill_many(cfg: CacoConfig, bos: int, max_length: int,
         dec_cache={"k": zero_axis1(state.dec_cache["k"]),
                    "v": zero_axis1(state.dec_cache["v"]),
                    "index": state.dec_cache["index"].at[slots].set(zeros_p)},
-        cross_kv={"k": put_axis1(state.cross_kv["k"], ckv["k"]),
-                  "v": put_axis1(state.cross_kv["v"], ckv["v"])},
+        cross_kv={"k": put_axis1(state.cross_kv["k"], enc["k"]),
+                  "v": put_axis1(state.cross_kv["v"], enc["v"])},
         audio_mask=state.audio_mask.at[slots].set(
-            patch_batch["audio_mask"].astype(state.audio_mask.dtype)),
+            enc["audio_mask"].astype(state.audio_mask.dtype)),
         input_ids=state.input_ids.at[slots].set(new_ids),
         index=state.index.at[slots].set(zeros_p),
         active=state.active.at[slots].set(valid.astype(jnp.int32)),
@@ -182,7 +198,8 @@ class ContinuousCaptioner:
         self.rng = jax.random.PRNGKey(seed)
         self._step_count = 0
         self._compiled_multi_step = self._build_multi_step()
-        self._compiled_prefill = self._build_prefill_many()
+        self._compiled_encode = self._build_encode()
+        self._compiled_scatter = self._build_scatter()
 
     # ------------------------------------------------------------- builders
 
@@ -227,8 +244,11 @@ class ContinuousCaptioner:
             "audio_mask": jnp.pad(req["audio_mask"], ((0, 0), (0, pad))),
         }
 
-    def _build_prefill_many(self):
-        return functools.partial(_prefill_many, self.cfg,
+    def _build_encode(self):
+        return functools.partial(_encode_many, self.cfg)
+
+    def _build_scatter(self):
+        return functools.partial(_scatter_many, self.cfg,
                                  self.tokenizer.bos_token_id, self.max_length)
 
     def _build_multi_step(self):
@@ -259,13 +279,23 @@ class ContinuousCaptioner:
         """Caption a stream of single-clip patch dicts (leading dim 1 each,
         e.g. from CacoEngine.audio_patch_batch slices). Accepts any
         iterable — requests are pulled lazily as slots free up. Returns
-        captions in arrival order."""
+        captions in arrival order.
+
+        Prefill/decode overlap: requests are pulled ahead (one full fill
+        deep) and their encoder forwards DISPATCHED immediately — async,
+        so they queue on the device behind the in-flight decode window.
+        At each window boundary only the cheap scatter program binds
+        pre-encoded requests to freed slots.  An encoded group whose slot
+        demand exceeds the free count is placed incrementally (unplaced
+        entries route to the trash row and scatter again later)."""
         it = iter(patch_batches)
         results: List[str] = []
         slot_owner = [-1] * self.num_slots
         state = None
-        queue: List[dict] = []   # pulled-but-unplaced requests (arrival order)
+        queue: List[dict] = []   # pulled-but-not-yet-encoded (arrival order)
         queue_idx: List[int] = []
+        # encoded-but-not-fully-placed groups: [enc, gidx list, placed flags]
+        pending: List[List] = []
         exhausted = False
         n_seen = 0
         sizes = self._prefill_sizes()
@@ -284,34 +314,58 @@ class ContinuousCaptioner:
                 results.append(None)  # placeholder in arrival order
                 n_seen += 1
 
-        pull(1)
-        while queue or not exhausted or any(o >= 0 for o in slot_owner):
-            free = [s for s in range(self.num_slots) if slot_owner[s] < 0]
-            pull(max(1, len(free)))
-            if not queue and exhausted and all(o < 0 for o in slot_owner):
-                break
-            if state is None:
-                seq = self.audio_seq_len or queue[0]["audio_patches"].shape[1]
-                state = self.init_state(seq)
-            seq = state.audio_mask.shape[1]
-            # batched refill: ONE encoder forward per prefill batch (round-1
-            # dispatched one B=1 forward per request — the dominant cost on
-            # a high-latency link and a poor MXU shape everywhere)
-            while queue and free:
-                n = min(len(queue), len(free), sizes[-1])
+        def encode_ahead(seq: int):
+            """Dispatch encoder forwards for everything pulled (async)."""
+            nonlocal queue, queue_idx
+            while queue:
+                n = min(len(queue), sizes[-1])
                 p = next(sz for sz in sizes if sz >= n)
+                if p > n and not exhausted and len(pending) > 0:
+                    break  # wait for a fuller group unless the stream ended
                 group, queue = queue[:n], queue[n:]
                 gidx, queue_idx = queue_idx[:n], queue_idx[n:]
-                slots = free[:n] + [trash] * (p - n)
-                free = free[n:]
-                batch = self._stack_requests(group, p, seq)
-                state = self._compiled_prefill(
-                    self.params, state,
-                    jnp.asarray(slots, jnp.int32),
-                    jnp.asarray([1] * n + [0] * (p - n), jnp.int32),
-                    batch)
-                for s, ridx in zip(slots[:n], gidx):
-                    slot_owner[s] = ridx
+                enc = self._compiled_encode(
+                    self.params, self._stack_requests(group, p, seq))
+                pending.append([enc, gidx, [False] * len(gidx)])
+
+        def scatter_pending(free: List[int]):
+            nonlocal state
+            for entry in pending:
+                if not free:
+                    break
+                enc, gidx, placed = entry
+                p = enc["audio_mask"].shape[0]
+                slots = [trash] * p
+                valid = [0] * p
+                for i in range(len(gidx)):
+                    if not placed[i] and free:
+                        s = free.pop(0)
+                        slots[i], valid[i] = s, 1
+                        placed[i] = True
+                        slot_owner[s] = gidx[i]
+                if any(valid):
+                    state = self._compiled_scatter(
+                        self.params, state,
+                        jnp.asarray(slots, jnp.int32),
+                        jnp.asarray(valid, jnp.int32), enc)
+            pending[:] = [e for e in pending if not all(e[2])]
+
+        pull(self.num_slots)
+        while queue or pending or not exhausted \
+                or any(o >= 0 for o in slot_owner):
+            free = [s for s in range(self.num_slots) if slot_owner[s] < 0]
+            # keep one full fill of lookahead encoded ahead of need
+            pull(max(1, self.num_slots - sum(len(e[1]) for e in pending)))
+            if not queue and not pending and exhausted \
+                    and all(o < 0 for o in slot_owner):
+                break
+            if state is None:
+                first = queue[0] if queue else None
+                seq = self.audio_seq_len or first["audio_patches"].shape[1]
+                state = self.init_state(seq)
+            seq = state.audio_mask.shape[1]
+            encode_ahead(seq)
+            scatter_pending(free)
             # advance every active slot up to drain_every tokens, then one
             # host sync: the (B,) active vector
             self._step_count += 1

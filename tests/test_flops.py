@@ -66,9 +66,19 @@ def test_bench_stored_baseline_roundtrip(tmp_path, monkeypatch):
     import bench
 
     monkeypatch.setattr(bench, "BASELINE_FILE", str(tmp_path / "b.json"))
+    monkeypatch.setattr(bench, "BASELINE_FILE_LOCAL",
+                        str(tmp_path / "cache" / "b.json"))
     with pytest.raises(FileNotFoundError):
         bench._load_stored_baseline()
+    # fresh measurements land in the gitignored local path and win over
+    # the committed copy on read
     bench._store_baseline(0.781)
     val, source = bench._load_stored_baseline()
     assert val == 0.781
     assert source.startswith("stored:")
+    import json
+
+    with open(tmp_path / "b.json", "w") as f:
+        json.dump({"cpu_fp32_b1_clips_per_s": 0.5, "measured": "x"}, f)
+    val, _ = bench._load_stored_baseline()
+    assert val == 0.781  # local measurement preferred
