@@ -70,29 +70,70 @@ def kernel_plan(seq: int, d_model: int, dtype):
     return None
 
 
-def _head_softmax(q, k, kmask, head_dim):
-    """Per-head masked softmax probabilities, fp32 — THE shared numerics of
-    every kernel in this file (forward variants and the backward's P
-    recompute); change scale/mask/dtype policy here only."""
+def preferred_seq_len(seq: int, d_model: int, dtype) -> int:
+    """Round a patch budget UP to the blocked kernel's padded length.
+
+    A blocked plan pads q/kv/mask to a q-block multiple per layer inside
+    the scan — measured 8.2 ms/batch of pure XLA pad ops at B=32 seq-1500
+    on v5e (r3 xplane).  Sizing the patch budget to the padded length
+    instead makes the whole pipeline run at that length with the extra
+    slots mask=0 — numerically identical, zero pad/slice traffic.
+    One-shot and None plans return seq unchanged."""
+    plan = kernel_plan(seq, d_model, dtype)
+    if plan is not None and plan[0] == "blocked":
+        return plan[1]
+    return seq
+
+
+def _head_softmax_unnorm(q, k, kmask, head_dim):
+    """Per-head masked UNNORMALIZED softmax: (exp(logits−max), rowsum).
+
+    The forward kernels are VPU-bound at long seq (r3 xplane: the blocked
+    kernel was 27 ms of a 94 ms 30-s batch, ~12 VPU ops per (Q,S) logit
+    element vs 1.4 ms of MXU time), so every full-tile pass matters.  Two
+    passes are moved off the big tile relative to the naive form:
+    - the 1/√d scale is folded into q (Q×Dh elements, not Q×S),
+    - normalization is deferred to the OUTPUT tile: callers compute
+      (p̃ @ V) / rowsum on (Q, Dh) instead of p̃/rowsum on (Q, S).
+    Numerics: identical math reordered; p̃ ∈ [0,1] exactly like the
+    normalized form, so the bf16 cast before P@V loses nothing extra."""
+    qs = q * jnp.asarray(1.0 / (head_dim ** 0.5), q.dtype)
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Q, S)
-    logits = jnp.where(kmask, logits * (1.0 / (head_dim ** 0.5)), NEG_INF)
+    logits = jnp.where(kmask, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    return p, jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _attend_heads(xq, k_src, v_src, kmask, num_heads, head_dim, out_ref):
+def _head_softmax(q, k, kmask, head_dim):
+    """Normalized probabilities (backward recompute path)."""
+    p, s = _head_softmax_unnorm(q, k, kmask, head_dim)
+    return p / s
+
+
+def _attend_heads(xq, k_src, v_src, kmask, num_heads, head_dim, out_ref,
+                  defer_norm: bool = True):
     """Shared all-heads attention loop: q from xq columns, k/v from the
-    given sources, outputs written per head into out_ref's row block."""
+    given sources, outputs written per head into out_ref's row block.
+
+    defer_norm=True divides the (Q, Dh) output instead of the (Q, S)
+    probabilities — measured +2% end-to-end at seq 500 (v5e, r3) — but
+    raises Mosaic's scoped-VMEM stack (p and o alive together): the
+    blocked kernel at seq 1536 exceeds the 16M limit with it, so that
+    caller keeps the in-place normalized form."""
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = xq[:, sl]
         k = k_src[:, sl]
         v = v_src[:, sl]
-        p = _head_softmax(q, k, kmask, head_dim)
+        p, rowsum = _head_softmax_unnorm(q, k, kmask, head_dim)
+        if not defer_norm:
+            p = p / rowsum
         o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
+        if defer_norm:
+            o = o / rowsum
         out_ref[0, :, sl] = o.astype(out_ref.dtype)
 
 
@@ -112,12 +153,24 @@ def _kernel(num_heads: int, head_dim: int, q_block: int,
 def _kernel_blocked(num_heads: int, head_dim: int,
                     q_ref, kv_ref, mask_ref, out_ref):
     """Blocked variant: Q arrives per-q-block, K|V per-row (resident across
-    the row's q-blocks).  Same math as the one-shot kernel."""
+    the row's q-blocks).  Same math as the one-shot kernel.
+
+    Head slices are taken on the REFS (pl.ds), not on loaded values:
+    value slicing at 96-column offsets is lane-unaligned (head_dim 96 <
+    the 128-lane tile) and made Mosaic retile every matmul operand —
+    ref slicing measured +15% end-to-end at 30 s, bit-identical (v5e r3).
+    defer_norm busts the 16M scoped-VMEM limit at seq 1536 (19.2M), so
+    probabilities normalize in place here."""
     d = num_heads * head_dim
-    kv = kv_ref[0]  # (S, 2·H·Dh)
     kmask = mask_ref[0] > 0  # (1, S)
-    _attend_heads(q_ref[0], kv[:, :d], kv[:, d:], kmask,
-                  num_heads, head_dim, out_ref)
+    for h in range(num_heads):
+        q = q_ref[0, :, pl.ds(h * head_dim, head_dim)]
+        k = kv_ref[0, :, pl.ds(h * head_dim, head_dim)]
+        v = kv_ref[0, :, pl.ds(d + h * head_dim, head_dim)]
+        p, rowsum = _head_softmax_unnorm(q, k, kmask, head_dim)
+        p = p / rowsum
+        o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
+        out_ref[0, :, pl.ds(h * head_dim, head_dim)] = o.astype(out_ref.dtype)
 
 
 def _pallas_forward(qkv, mask, num_heads, interpret):

@@ -78,6 +78,14 @@ class CacoEngine:
 
             patches_seq_len = num_patches_for_samples(
                 buffer_samples, self.front, PatchConfig())
+        if cfg.audio.flash_attention:
+            # long budgets: run the whole pipeline at the kernel's padded
+            # length (extra slots mask=0, numerically identical) instead
+            # of padding per layer — see preferred_seq_len
+            from cacophony_tpu.ops.encoder_attention import preferred_seq_len
+
+            patches_seq_len = preferred_seq_len(
+                patches_seq_len, cfg.audio.hidden_size, cfg.dtype)
         self.patch = PatchConfig(patches_seq_len=patches_seq_len)
         self.buffer_samples = buffer_samples
         self.max_text_len = max_text_len

@@ -245,3 +245,18 @@ def test_fused_ln_attention_grads_and_parity():
     g = jax.grad(lambda pp: audio_encoder_apply(
         p, cfg, pp, inds, inds, am).sum())(patches)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_preferred_seq_len_rounds_blocked_budgets():
+    import jax.numpy as jnp
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    # one-shot budget: unchanged
+    assert ea.preferred_seq_len(500, 768, jnp.bfloat16) == 500
+    # 30-s budget: rounded to the blocked plan's padded length
+    plan = ea.kernel_plan(1500, 768, jnp.bfloat16)
+    assert plan is not None and plan[0] == "blocked"
+    got = ea.preferred_seq_len(1500, 768, jnp.bfloat16)
+    assert got == plan[1] and got % plan[2] == 0 and got >= 1500
+    # rounded budget is a fixed point
+    assert ea.preferred_seq_len(got, 768, jnp.bfloat16) == got
