@@ -43,7 +43,7 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from cacophony_tpu.configs import FrontendConfig, PatchConfig, caco_base
+from cacophony_tpu.configs import FrontendConfig, PatchConfig, audiomae_base, caco_base
 from cacophony_tpu.frontend import wav_to_patches
 from cacophony_tpu.models.caco import caco_init, decode, get_audio_embedding
 from cacophony_tpu.utils.flops import device_peak_flops, pipeline_matmul_flops
@@ -141,6 +141,103 @@ def _decode_throughput(device, num_streams, max_length, bf16=True):
     return num_streams * (max_length - 1) * trials / dt
 
 
+def _throughput_30s(device, batch_size=32, iters=4, warmup=1):
+    """30-s retrieval/captioning budget (reference eval_caco.py:349-357:
+    1500 patches).  The engine's kernel-aware rounding applies: the
+    pipeline runs at the blocked plan's padded length (mask-padded,
+    numerically identical; measured +9% on v5e r3)."""
+    from cacophony_tpu.ops.encoder_attention import preferred_seq_len
+
+    cfg = dataclasses.replace(caco_base(), dtype=jnp.bfloat16)
+    seq = preferred_seq_len(1500, cfg.audio.hidden_size, cfg.dtype)
+    front, patch = FrontendConfig(), PatchConfig(patches_seq_len=seq)
+    fwd = jax.jit(_pipeline(cfg, front, patch))
+    with jax.default_device(device):
+        params = jax.jit(lambda: caco_init(jax.random.PRNGKey(0), cfg))()
+        rng = np.random.RandomState(0)
+        bufs = jnp.asarray(rng.randn(batch_size, 480_000).astype(np.float32) * 0.1)
+        lens = jnp.full((batch_size,), 480_000, jnp.int32)
+        for _ in range(warmup):
+            float(fwd(params, bufs, lens)[0, 0])
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fwd(params, bufs, lens)
+        float(out[0, 0])
+        dt = time.perf_counter() - t0
+        del params
+    return batch_size * iters / dt
+
+
+def _train_step_ms(device, batch_size=16, iters=4):
+    """Stage-2 contrastive+caption train step, bf16 B=16 (r2: ~100 ms)."""
+    from cacophony_tpu.train import TrainConfig, make_caco_train_step
+    from cacophony_tpu.train.train import init_train_state
+
+    cfg = dataclasses.replace(caco_base(), dtype=jnp.bfloat16)
+    tc = TrainConfig(warmup_steps=1, total_steps=100)
+    front, patch = FrontendConfig(), PatchConfig(patches_seq_len=500)
+    with jax.default_device(device):
+        params = jax.jit(lambda: caco_init(jax.random.PRNGKey(0), cfg))()
+        state = init_train_state(params, tc)
+        rng = np.random.RandomState(0)
+        bufs = jnp.asarray(rng.randn(batch_size, 160_000).astype(np.float32) * 0.1)
+        lens = jnp.full((batch_size,), 160_000, jnp.int32)
+        batch = jax.jit(lambda b, n: jax.vmap(
+            lambda bb, nn: wav_to_patches(bb, nn, front, patch))(b, n))(bufs, lens)
+        batch["text_input_ids"] = jnp.asarray(
+            rng.randint(0, cfg.text.vocab_size, (batch_size, 100)), jnp.int32)
+        batch["text_mask"] = jnp.ones((batch_size, 100), jnp.int32)
+        step = make_caco_train_step(cfg, tc)
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        float(m["loss"])  # compile + one step
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step(state, batch, jax.random.PRNGKey(2 + i))
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        del params, state
+    return dt / iters * 1000.0
+
+
+def _mae_recon_throughput(device, batch_size=64, iters=4, mask_ratio=0.8):
+    """Stage-1 AudioMAE reconstruction forward (85.26M enc + 85.85M dec),
+    80% mask, 10-s clips (r2: 499 clips/s)."""
+    from cacophony_tpu.models.audio import audiomae_apply, audiomae_init
+    from cacophony_tpu.train import mae_random_masking
+
+    mae = audiomae_base()
+    enc = dataclasses.replace(mae.encoder, flash_attention=True)
+    dec = mae.decoder
+    front, patch = FrontendConfig(), PatchConfig(patches_seq_len=500)
+    with jax.default_device(device):
+        params = jax.jit(lambda: audiomae_init(jax.random.PRNGKey(0), enc, dec))()
+        rng = np.random.RandomState(0)
+        bufs = jnp.asarray(rng.randn(batch_size, 160_000).astype(np.float32) * 0.1)
+        lens = jnp.full((batch_size,), 160_000, jnp.int32)
+        pb = jax.jit(lambda b, n: jax.vmap(
+            lambda bb, nn: wav_to_patches(bb, nn, front, patch))(b, n))(bufs, lens)
+        masked = jax.jit(lambda r, b: mae_random_masking(r, b, mask_ratio))(
+            jax.random.PRNGKey(1), pb)
+
+        @jax.jit
+        def recon(params, m):
+            return audiomae_apply(
+                params, enc, dec, m["patches"], m["mask"], m["time_inds"],
+                m["freq_inds"], m["restore_time_inds"], m["restore_freq_inds"],
+                m["restore_mask"], dtype=jnp.bfloat16)
+
+        float(recon(params, masked)[0, 0, 0])
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = recon(params, masked)
+        float(out[0, 0, 0])
+        dt = time.perf_counter() - t0
+        del params
+    return batch_size * iters / dt
+
+
 def _load_stored_baseline():
     path = BASELINE_FILE_LOCAL if os.path.exists(BASELINE_FILE_LOCAL) else BASELINE_FILE
     with open(path) as f:
@@ -166,6 +263,9 @@ def main():
     accel = jax.devices()[0]
     tpu_clips = _throughput(accel, BATCH, ITERS, bf16=True)
     decode_tps = _decode_throughput(accel, DECODE_STREAMS, DECODE_LEN)
+    clips_30s = _throughput_30s(accel)
+    train_ms = _train_step_ms(accel)
+    mae_clips = _mae_recon_throughput(accel)
 
     cpu_clips, baseline_source = None, None
     try:
@@ -200,6 +300,12 @@ def main():
         "mfu": round(achieved / peak, 4) if peak else None,
         "decode_tokens_per_s": round(decode_tps, 1),
         "decode_streams": DECODE_STREAMS,
+        # 30-s retrieval budget (reference headline shape), B=32 bf16
+        "clips_30s_per_s": round(clips_30s, 2),
+        # stage-2 train step, bf16 B=16 (contrastive + caption)
+        "train_step_ms_b16": round(train_ms, 2),
+        # stage-1 AudioMAE recon forward, 80% mask, B=64 bf16
+        "mae_recon_clips_per_s": round(mae_clips, 2),
     }))
 
 

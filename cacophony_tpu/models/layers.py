@@ -57,43 +57,13 @@ def count_params(tree) -> int:
 # ------------------------------------------------------------------- kernels
 
 def dense(p, x, dtype=None):
-    if "w_q" in p:
-        return dense_int8(p, x, dtype)
+    # (the round-2 int8 serving dispatch lived here; deleted r3 — int8 was
+    # speed-neutral through XLA and ≤1.4× in-kernel with the dequant
+    # epilogue erasing even that, per the v5e microbenches)
     w, b = p["w"], p["b"]
     if dtype is not None:
         x, w, b = x.astype(dtype), w.astype(dtype), b.astype(dtype)
     return x @ w + b
-
-
-def quantize_dense_int8(p):
-    """{'w','b'} → {'w_q','s_w','b'}: symmetric per-OUTPUT-channel int8.
-
-    Serving-only transform (ops/quant.quantize_tree applies it across a
-    tower); v5e runs int8 matmuls at ~1.5× the bf16 rate (measured 178.7
-    vs 120.8 T/s on chained 4096³)."""
-    w = jnp.asarray(p["w"], jnp.float32)
-    # reduce over the INPUT-feature axis (-2) so scan-stacked layer weights
-    # (L, d_in, d_out) keep their leading axis → s_w (L, d_out) / (d_out,)
-    s_w = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
-    s_w = jnp.maximum(s_w, 1e-12)
-    w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
-    return {"w_q": w_q, "s_w": jnp.squeeze(s_w, -2),
-            "b": jnp.asarray(p["b"], jnp.float32)}
-
-
-def dense_int8(p, x, dtype=None):
-    """int8 MXU matmul with dynamic per-token activation quantization:
-    x_q = round(x / s_x) with s_x = rowwise absmax/127, y = (x_q @ w_q) ·
-    s_x · s_w + b.  Output dtype follows `dtype` (fp32 default)."""
-    xf = x.astype(jnp.float32)
-    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    s_x = jnp.maximum(s_x, 1e-12)
-    x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
-    y = jax.lax.dot_general(
-        x_q, p["w_q"], (((x_q.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    out = y.astype(jnp.float32) * s_x * p["s_w"] + p["b"]
-    return out.astype(dtype) if dtype is not None else out
 
 
 def layer_norm(p, x, eps: float):

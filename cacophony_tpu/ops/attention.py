@@ -121,14 +121,8 @@ def multi_head_attention(
             # block double-buffered busts VMEM): split the fused weight —
             # same FLOPs, two matmuls, no activation copies
             pq = params["qkv"]
-            if "w_q" in pq:  # int8 serving form splits the same way
-                q_p = {"w_q": pq["w_q"][:, :d], "s_w": pq["s_w"][:d],
-                       "b": pq["b"][:d]}
-                kv_p = {"w_q": pq["w_q"][:, d:], "s_w": pq["s_w"][d:],
-                        "b": pq["b"][d:]}
-            else:
-                q_p = {"w": pq["w"][:, :d], "b": pq["b"][:d]}
-                kv_p = {"w": pq["w"][:, d:], "b": pq["b"][d:]}
+            q_p = {"w": pq["w"][:, :d], "b": pq["b"][:d]}
+            kv_p = {"w": pq["w"][:, d:], "b": pq["b"][d:]}
             q_out = dense(q_p, x, dtype)
             kv_out = dense(kv_p, x, dtype)
             out = encoder_attention_blocked(q_out, kv_out, flash_mask,

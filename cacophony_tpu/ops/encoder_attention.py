@@ -369,15 +369,13 @@ def fused_ln_fits(seq: int, d_model: int, dtype) -> bool:
 
 def try_fused_ln_attention(ln_p, attn_p, x, mask, num_heads, eps, dtype):
     """→ attention output (pre out-proj) via the LN+QKV+attention kernel,
-    or None when ineligible (shard_map manual axes, int8 weights, capacity,
+    or None when ineligible (shard_map interpret mode, capacity,
     or a plan that isn't one-shot).  Differentiable (XLA-remat backward),
     but training paths keep the unfused route for dropout support."""
     interp = jax.default_backend() != "tpu"
     if interp and bool(getattr(jax.typeof(x), "vma", None)):
         # vma-checked interpret mode can't run pallas (see ops/attention.py);
         # compiled per-shard under shard_map is fine
-        return None
-    if "w" not in attn_p["qkv"]:  # int8 serving form — dequant path instead
         return None
     b, s, d = x.shape
     compute_dtype = dtype if dtype is not None else x.dtype

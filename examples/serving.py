@@ -10,7 +10,6 @@ Shows the round-2 serving surfaces:
   delete, and save/load persistence
 - ContinuousCaptioner: slotted KV-cache decode server with batched
   prefill and windowed host sync
-- optional int8 audio tower (--int8; cosine vs bf16 ≈ 0.9998)
 """
 
 import argparse
@@ -30,7 +29,6 @@ def main():
     p.add_argument("--ckpt_path", required=True)
     p.add_argument("--tokenizer", default="roberta-base")
     p.add_argument("--queries", nargs="*", default=["a dog barking"])
-    p.add_argument("--int8", action="store_true")
     p.add_argument("--caption", action="store_true")
     p.add_argument("--gallery_path", default=None,
                    help="persist/restore the gallery at this .npz path")
@@ -41,7 +39,7 @@ def main():
                             strict_counts=not args.no_strict_counts)
     tokenizer = load_tokenizer(args.tokenizer)
     engine = CacoEngine(cfg, params, tokenizer=tokenizer,
-                        dtype=jnp.bfloat16, quantize_int8=args.int8)
+                        dtype=jnp.bfloat16)
 
     # ingest the gallery (streams: any iterable works, bounded host RAM);
     # restore a persisted gallery when one exists at --gallery_path

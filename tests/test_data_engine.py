@@ -225,3 +225,23 @@ def test_gallery_index_sharded(rng):
         g.add(emb)
         scores, idx, _ = g.search(emb[:2], k=3)
     assert (idx[:, 0] == np.arange(2)).all()
+
+
+def test_engine_text_bucketing_identical(engine):
+    """Trimming mask-0 pad columns to a bucket must not change embeddings:
+    compare against a full-max_text_len engine on the same prompts."""
+    texts = ["a dog", "rain on the window all day long"]
+    bucketed = engine.embed_texts(texts)
+    full = CacoEngine(engine.cfg, engine.params, tokenizer=engine.tokenizer,
+                      buffer_seconds=1.0, max_text_len=24, batch_size=4)
+    # force the no-bucket path by making every bucket >= max_text_len
+    tok = engine.tokenizer(texts, padding="max_length", truncation=True,
+                           max_length=24, return_tensors="np")
+    ids = np.asarray(tok["input_ids"], np.int32)
+    mask = np.asarray(tok["attention_mask"], np.int32)
+    n_pad = 4 - len(ids)
+    ids = np.concatenate([ids, np.ones((n_pad, 24), np.int32)])
+    mask_p = np.concatenate([mask, np.zeros((n_pad, 24), np.int32)])
+    mask_p[len(texts):, 0] = 1
+    out = np.asarray(full._text_fn(full.params, ids, mask_p))[:len(texts)]
+    np.testing.assert_allclose(bucketed, out, atol=2e-5)
