@@ -196,3 +196,50 @@ def test_tutas2017_processor_format(tmp_path):
     assert len(files) == 2
     assert text["a1"]["description"] == ["beach"]
     assert text["b1"]["description"] == ["bus"]
+
+
+def test_cli_zs_expect_gate_end_to_end(esc50_dir, tmp_path, monkeypatch):
+    """Full synthetic-artifact drive of the real-checkpoint gate (VERDICT
+    r2 #10): reference-layout msgpack checkpoint + tokenizer dir + ESC-50
+    disk layout → eval CLI --task zs --expect, passing within tolerance
+    and exiting nonzero on drift."""
+    import json as _json
+
+    from flax.training import checkpoints as flax_checkpoints
+
+    from cacophony_tpu.checkpoints.convert import caco_params_to_reference
+    from cacophony_tpu.eval import cli
+
+    # reference-layout checkpoint (tiny config; --tiny_model skips the
+    # published param-count guard exactly like a user with a custom ckpt)
+    tok = _byte_tokenizer()
+    cfg = configs.caco_tiny(vocab_size=tok.vocab_size)
+    params = caco_init(jax.random.PRNGKey(3), cfg)
+    ckpt_dir = str(tmp_path / "ckpt")
+    flax_checkpoints.save_checkpoint(
+        ckpt_dir, {"0": {"params": caco_params_to_reference(
+            params, audio_num_heads=cfg.audio.num_heads)}},
+        step=0, overwrite=True)
+
+    # tokenizer directory (vocab.json + merges.txt)
+    tokdir = tmp_path / "tok"
+    tokdir.mkdir()
+    (tokdir / "vocab.json").write_text(_json.dumps(tok.vocab))
+    (tokdir / "merges.txt").write_text("#version: 0.2\n")
+
+    monkeypatch.setenv("CACOPHONY_ESC50_DIR", esc50_dir)
+    argv = ["--ckpt_path", ckpt_dir, "--task", "zs", "--dataset", "esc50",
+            "--tokenizer", str(tokdir), "--tiny_model", "--batch_size", "4"]
+    results = cli.main(argv)
+    acc = results["esc50"]
+    assert 0.0 <= acc <= 1.0
+
+    golden_ok = tmp_path / "ok.json"
+    golden_ok.write_text(_json.dumps({"atol": 0.01, "expect": {"esc50": acc}}))
+    cli.main(argv + ["--expect", str(golden_ok)])  # within tolerance
+
+    golden_bad = tmp_path / "bad.json"
+    golden_bad.write_text(_json.dumps(
+        {"atol": 0.001, "expect": {"esc50": acc + 0.5 if acc < 0.5 else acc - 0.5}}))
+    with pytest.raises(SystemExit):
+        cli.main(argv + ["--expect", str(golden_bad)])
