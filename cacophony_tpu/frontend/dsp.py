@@ -92,38 +92,56 @@ def _windowed_dft_matrices(window_length: int, fft_size: int) -> tuple[np.ndarra
     return cr, ci
 
 
-def stft_magnitude(audio: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+def stft_magnitude(audio: jnp.ndarray, cfg: FrontendConfig, *,
+                   exact: bool = False) -> jnp.ndarray:
     """Magnitude STFT with tfio semantics. audio: (num_samples,) → (F, nbins).
 
-    Formulated WITHOUT materializing overlapped frames: frame f covers
-    samples [f·hop, f·hop+win), which splits into hop-aligned chunks, so
-    with A = padded.reshape(-1, hop) the windowed DFT is a sum of shifted
-    matmuls   Σ_k A[f+k] @ C[k·hop:(k+1)·hop]   — pure reshapes + n_seg
-    (=⌈win/hop⌉, 3 here) matmuls instead of a (F, win) gather that
-    materializes ~win/hop× the audio.  Measured equal end-to-end speed on
-    v5e (the pipeline is encoder-bound); kept for the memory profile.
+    Default (fast) form: materialize the overlapped (F, win) frames with a
+    gather and run ONE (F, win) @ (win, 2·nbins) matmul against the
+    re|im-concatenated windowed-DFT matrix at Precision.HIGH (3-pass
+    bf16 on the MXU).  Measured on v5e (same-session interleaved A/B,
+    B=128 10-s pipeline): 1469 → 1497 clips/s (+1.9%) vs the previous
+    6-pass-fp32 segmented form, log-mel max abs diff 3.0e-4, embedding
+    cosine ≥ 0.999999.  One-pass bf16 (DEFAULT precision) gains only a
+    further +0.5% but costs 6.8e-2 log-mel error — rejected: the log
+    amplifies error and the DSP output is numerically load-bearing.
 
-    DSP matmuls are numerically load-bearing (the log amplifies error) and
-    cost negligible FLOPs vs the encoder — full fp32 on the MXU.
+    exact=True keeps full-fp32 accumulation in a segmented formulation
+    that never materializes frames: frame f covers [f·hop, f·hop+win),
+    which splits into hop-aligned chunks, so with A = padded.reshape(-1,
+    hop) the windowed DFT is Σ_k A[f+k] @ C[k·hop:(k+1)·hop] — n_seg
+    (=⌈win/hop⌉, 3 here) matmuls.  Used by golden regeneration and
+    available for diagnostics.
     """
     hop, win = cfg.hop_length, cfg.window_length
     num_frames = num_stft_frames(audio.shape[-1], cfg.hop_length)
-    n_seg = -(-win // hop)
-
-    total = (num_frames + n_seg) * hop
-    x = audio.astype(jnp.float32)
-    x = jnp.pad(x, (0, total - x.shape[-1]))
-    a = x.reshape(num_frames + n_seg, hop)
-
     cr, ci = _windowed_dft_matrices(win, cfg.fft_size)
-    re = im = 0.0
-    for k in range(n_seg):
-        lo, hi = k * hop, min((k + 1) * hop, win)
-        seg = a[k:num_frames + k, : hi - lo]
-        re = re + jnp.dot(seg, jnp.asarray(cr[lo:hi]),
-                          precision=jax.lax.Precision.HIGHEST)
-        im = im + jnp.dot(seg, jnp.asarray(ci[lo:hi]),
-                          precision=jax.lax.Precision.HIGHEST)
+    nb = cr.shape[1]
+
+    if exact:
+        n_seg = -(-win // hop)
+        total = (num_frames + n_seg) * hop
+        x = audio.astype(jnp.float32)
+        x = jnp.pad(x, (0, total - x.shape[-1]))
+        a = x.reshape(num_frames + n_seg, hop)
+        re = im = 0.0
+        for k in range(n_seg):
+            lo, hi = k * hop, min((k + 1) * hop, win)
+            seg = a[k:num_frames + k, : hi - lo]
+            re = re + jnp.dot(seg, jnp.asarray(cr[lo:hi]),
+                              precision=jax.lax.Precision.HIGHEST)
+            im = im + jnp.dot(seg, jnp.asarray(ci[lo:hi]),
+                              precision=jax.lax.Precision.HIGHEST)
+        return jnp.sqrt(re * re + im * im)
+
+    total = (num_frames - 1) * hop + win
+    x = audio.astype(jnp.float32)
+    x = jnp.pad(x, (0, max(0, total - x.shape[-1])))
+    idx = jnp.arange(num_frames)[:, None] * hop + jnp.arange(win)[None, :]
+    frames = x[idx]  # (F, win); XLA fuses the gather into the matmul read
+    c = jnp.asarray(np.concatenate([cr, ci], axis=1))  # (win, 2·nbins)
+    acc = jnp.dot(frames, c, precision=jax.lax.Precision.HIGH)
+    re, im = acc[:, :nb], acc[:, nb:]
     return jnp.sqrt(re * re + im * im)
 
 

@@ -1,10 +1,14 @@
 """Fused Pallas frontend: waveform → log-mel spectrogram in ONE kernel.
 
-The XLA path (dsp.py) materializes every DSP intermediate in HBM — padded
-audio, 2× spectra (re/im), magnitude, mel, log-mel — ~5 round-trips per
-clip of bandwidth-bound work (the frontend measured ~35 ms per 128×10 s
-batch on v5e, ~20% of pipeline time).  This kernel keeps the whole DSP
-chain in VMEM: per grid step one clip's hop-major audio block streams in,
+The XLA path (dsp.py) materializes the DSP intermediates in HBM; this
+kernel keeps the whole chain in VMEM.  OPT-IN, not the default: the r3
+framed one-matmul dsp.stft_magnitude (Precision.HIGH) measured FASTER
+end-to-end than this kernel (1497 vs 1454 clips/s exact / 1488 fast-DFT,
+same-session B=128 10-s A/B) — the MXU prefers one big bf16x3 matmul over
+the in-VMEM segmented fp32 construction.  Kept for its memory profile
+(HBM traffic = read-audio + write-logmel only) and as the shard_map
+frontend demonstration.  Per grid step one clip's hop-major audio block
+streams in,
 the windowed real DFT runs as segmented matmuls against lane-padded
 cos/sin matrices, magnitude → mel → log happen in registers, and only the
 (F, num_mels) log-mel block streams out — HBM traffic drops to
@@ -220,6 +224,7 @@ def fused_batch_wav_to_patches(
     patch: PatchConfig,
     *,
     interpret: bool = False,
+    fast_dft: bool = False,
 ):
     """Drop-in batched replacement for vmap(wav_to_patches): full patch dict.
     DSP chain in the Pallas kernel; patchify transpose + masking in XLA.
@@ -233,7 +238,8 @@ def fused_batch_wav_to_patches(
         return jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(
             bufs, lens_i)
     rows = buffer_to_rows(bufs, num_frames, front)
-    logmel = fused_log_mel(rows, front, num_frames, interpret=interpret)
+    logmel = fused_log_mel(rows, front, num_frames, interpret=interpret,
+                           fast_dft=fast_dft)
     valid_frames = -(-lens.astype(jnp.int32) // front.hop_length)
     return jax.vmap(lambda s, n: patchify_spectrogram(s, n, patch))(
         logmel, valid_frames)

@@ -60,9 +60,11 @@ class CacoEngine:
         params stay fp32; matmul compute is cast).
 
         fused_frontend: run wav→patches as the single Pallas kernel
-        (frontend/fused.py) instead of the XLA op chain.  Default: on for
-        TPU backends, off elsewhere (the kernel runs in interpret mode on
-        CPU — correct but slow, tests only)."""
+        (frontend/fused.py) instead of the XLA op chain.  Default: OFF
+        (r3 same-session A/B at B=128/10 s: framed one-matmul XLA chain
+        1497 clips/s vs fused kernel 1454, fast-DFT fused 1488 — the
+        single Precision.HIGH matmul beats the in-VMEM segmented DSP).
+        Opt-in for the lower-HBM-traffic memory profile."""
         if dtype is not None:
             import dataclasses
 
@@ -113,9 +115,7 @@ class CacoEngine:
         else:
             self.params = params
         if fused_frontend is None:
-            # compiled kernel needs a TPU backend; runs per-shard under the
-            # engine's shard_map when a mesh is configured
-            fused_frontend = jax.default_backend() == "tpu"
+            fused_frontend = False  # measured slower than the XLA chain (r3)
         self.fused_frontend = fused_frontend
 
     def _wav_to_patch_batch(self, bufs, lens):

@@ -37,8 +37,11 @@ def test_fused_matches_xla_full_length(samples, seq_len):
     np.testing.assert_array_equal(got["audio_mask"], ref["audio_mask"])
     np.testing.assert_array_equal(got["audio_time_inds"], ref["audio_time_inds"])
     np.testing.assert_array_equal(got["audio_freq_inds"], ref["audio_freq_inds"])
+    # the XLA chain's framed one-matmul STFT (r3 default) and the kernel's
+    # segmented construction sum in different orders; the log amplifies the
+    # fp32 rounding gap near-zero mel bins (worst seen: 1/256k at 3e-5)
     np.testing.assert_allclose(got["audio_patches"], ref["audio_patches"],
-                               atol=2e-5, rtol=1e-6)
+                               atol=1e-4, rtol=1e-6)
 
 
 def test_fused_masks_short_clips_exactly():
