@@ -32,6 +32,14 @@ import numpy as np
 from cacophony_tpu.configs import FrontendConfig
 
 
+# Above this static frame count the framed-gather STFT formulation is
+# replaced by the segmented reshape-only form (see stft_magnitude): the
+# gather fuses cleanly at 10-s clips (1000 frames) but XLA's lowering
+# collapses at 30-s clips (3000 frames).  Measured boundary unknown
+# between those two points; 2000 splits it conservatively.
+_FRAMED_MAX_FRAMES = 2000
+
+
 def num_stft_frames(num_samples, hop_length: int):
     """tfio frame count: ceil(len / hop). Works on ints and traced scalars."""
     return -(-num_samples // hop_length)
@@ -106,19 +114,30 @@ def stft_magnitude(audio: jnp.ndarray, cfg: FrontendConfig, *,
     further +0.5% but costs 6.8e-2 log-mel error — rejected: the log
     amplifies error and the DSP output is numerically load-bearing.
 
-    exact=True keeps full-fp32 accumulation in a segmented formulation
-    that never materializes frames: frame f covers [f·hop, f·hop+win),
-    which splits into hop-aligned chunks, so with A = padded.reshape(-1,
-    hop) the windowed DFT is Σ_k A[f+k] @ C[k·hop:(k+1)·hop] — n_seg
-    (=⌈win/hop⌉, 3 here) matmuls.  Used by golden regeneration and
-    available for diagnostics.
+    Long clips (> _FRAMED_MAX_FRAMES frames, static at trace time) keep
+    the segmented no-gather fp32 formulation instead: at 30 s under
+    vmap(B=32) XLA lowers the (F, win) gather to a transposed
+    f32[F·win, B] fusion plus a while-loop dynamic-update-slice chain —
+    ~20 ms/batch, a 19% regression (xplane-measured) — while at 10 s the
+    gather fuses cleanly into the matmul read.  The segmented form is
+    Σ_k A[f+k] @ C[k·hop:(k+1)·hop] over A = padded.reshape(-1, hop)
+    (frame f covers [f·hop, f·hop+win), split into hop-aligned chunks;
+    n_seg = ⌈win/hop⌉ = 3 matmuls), pure reshapes — no gather at any
+    length.  It stays at fp32 HIGHEST: 3-pass-bf16 there compounds to
+    1.1e-3 log-mel error (three separately rounded partial sums) and
+    measured only +0.5% at 30 s (359.0 vs 357.1 clips/s, within noise) —
+    not worth the precision on the reference's headline eval shape.
+
+    exact=True forces the segmented fp32 formulation at any length —
+    golden regeneration and diagnostics.
     """
     hop, win = cfg.hop_length, cfg.window_length
     num_frames = num_stft_frames(audio.shape[-1], cfg.hop_length)
     cr, ci = _windowed_dft_matrices(win, cfg.fft_size)
     nb = cr.shape[1]
 
-    if exact:
+    if exact or num_frames > _FRAMED_MAX_FRAMES:
+        prec = jax.lax.Precision.HIGHEST
         n_seg = -(-win // hop)
         total = (num_frames + n_seg) * hop
         x = audio.astype(jnp.float32)
@@ -128,10 +147,8 @@ def stft_magnitude(audio: jnp.ndarray, cfg: FrontendConfig, *,
         for k in range(n_seg):
             lo, hi = k * hop, min((k + 1) * hop, win)
             seg = a[k:num_frames + k, : hi - lo]
-            re = re + jnp.dot(seg, jnp.asarray(cr[lo:hi]),
-                              precision=jax.lax.Precision.HIGHEST)
-            im = im + jnp.dot(seg, jnp.asarray(ci[lo:hi]),
-                              precision=jax.lax.Precision.HIGHEST)
+            re = re + jnp.dot(seg, jnp.asarray(cr[lo:hi]), precision=prec)
+            im = im + jnp.dot(seg, jnp.asarray(ci[lo:hi]), precision=prec)
         return jnp.sqrt(re * re + im * im)
 
     total = (num_frames - 1) * hop + win
