@@ -37,13 +37,23 @@ def patchify_spectrogram(
     spec: jnp.ndarray,
     num_valid_frames: jnp.ndarray,
     patch: PatchConfig,
+    dtype=None,
 ) -> Dict[str, jnp.ndarray]:
     """spec: (F_buf, num_mels), num_valid_frames: scalar int (may be traced).
 
     Returns audio_patches (S, tp*fp), audio_time_inds, audio_freq_inds,
     audio_mask — all with static shapes (S = patch.patches_seq_len).
+
+    dtype: when given (the model's compute dtype), the spectrogram is cast
+    BEFORE the reshape/transpose/pad chain.  Casting commutes bit-exactly
+    with those permutations, so the patches are identical to casting at the
+    encoder's patch projection — but the layout copies XLA inserts here run
+    at half the HBM traffic (measured ~3 ms/batch of pure copies at
+    B=32/30 s in fp32 on v5e).
     """
     tp, fp, seq_len = patch.time_patch_size, patch.freq_patch_size, patch.patches_seq_len
+    if dtype is not None:
+        spec = spec.astype(dtype)
     f_buf, num_mels = spec.shape
     t1 = f_buf // tp
     f1 = num_mels // fp
@@ -73,14 +83,17 @@ def wav_to_patches(
     num_valid_samples: jnp.ndarray,
     front: FrontendConfig,
     patch: PatchConfig,
+    dtype=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full device-side frontend for one clip: fixed buffer → patch dict.
 
     audio_buf: (max_samples,) zero-padded waveform; num_valid_samples: scalar.
-    vmap over a leading batch axis for batched use.
+    vmap over a leading batch axis for batched use.  dtype: optional compute
+    dtype for the emitted patches (see patchify_spectrogram) — the log-mel
+    itself always runs fp32 (golden-pinned numerics).
     """
     spec = log_mel_spectrogram(audio_buf, front)
     num_valid_frames = num_stft_frames(num_valid_samples, front.hop_length)
     # Samples beyond num_valid_samples are zeros; frames past the valid count
     # are masked out in patchify, matching reference zero-padding.
-    return patchify_spectrogram(spec, num_valid_frames, patch)
+    return patchify_spectrogram(spec, num_valid_frames, patch, dtype=dtype)

@@ -66,9 +66,14 @@ def audio_pooler_apply(p, cfg: CacoConfig, hidden: jnp.ndarray, mask: Optional[j
     """Multi-head single-query attention pool (reference caco.py:19-54):
     K,V from one fused Dense(2d) split; learned query reshaped to
     (heads, head_dim); per-head masked softmax over the sequence; concat
-    heads → output Dense."""
+    heads → output Dense.
+
+    Runs in cfg.dtype: without the explicit dtype the fp32 weights promoted
+    the bf16 hidden states and the whole pooler ran fp32 (measured ~3 ms of
+    a 89 ms B=128 batch on v5e — half-rate matmul plus fp32 layout copies).
+    Softmax statistics stay fp32 below."""
     m, hd = cfg.num_attention_pool_heads, cfg.pool_head_dim
-    kv = dense(p["kv"], hidden)
+    kv = dense(p["kv"], hidden, cfg.dtype)
     k, v = jnp.split(kv, 2, axis=-1)
     b, s, d = k.shape
     k = k.reshape(b, s, m, hd)
@@ -79,11 +84,16 @@ def audio_pooler_apply(p, cfg: CacoConfig, hidden: jnp.ndarray, mask: Optional[j
         logits = jnp.where(mask[:, None] > 0, logits, jnp.finfo(jnp.float32).min)
     w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(hidden.dtype)
     out = jnp.einsum("bhj,bjhd->bhd", w, v).reshape(b, m * hd)
-    return dense(p["out"], out)
+    return dense(p["out"], out, cfg.dtype)
 
 
 def _normalize(x: jnp.ndarray) -> jnp.ndarray:
-    """Bug-compatible L2 normalize: divide by ||x + eps|| (reference caco.py:91)."""
+    """Bug-compatible L2 normalize: divide by ||x + eps|| (reference caco.py:91).
+
+    Computed (and returned) in fp32 regardless of the pooler's compute
+    dtype: the embedding is the retrieval-scoring currency, and the
+    normalize is O(B·d) — precision is free here."""
+    x = x.astype(jnp.float32)
     return x / jnp.linalg.norm(x + NORM_EPS, axis=-1, keepdims=True)
 
 

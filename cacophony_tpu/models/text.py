@@ -246,11 +246,16 @@ def _decode_bias(max_length: int, index: jnp.ndarray) -> jnp.ndarray:
     return mask_to_bias(valid)[:, None, None, :]
 
 
-def text_pooler_apply(p, hidden: jnp.ndarray, mask: Optional[jnp.ndarray]):
-    """Single learned-query attention pool (reference :527-536)."""
+def text_pooler_apply(p, hidden: jnp.ndarray, mask: Optional[jnp.ndarray],
+                      dtype=None):
+    """Single learned-query attention pool (reference :527-536).
+
+    dtype: compute dtype for the K/V projections (without it the fp32
+    weights silently promote bf16 hidden states to an fp32 pooler);
+    softmax statistics stay fp32 either way."""
     d = hidden.shape[-1]
-    key = dense(p["key"], hidden) / jnp.sqrt(jnp.asarray(d, hidden.dtype))
-    value = dense(p["value"], hidden)
+    key = dense(p["key"], hidden, dtype) / jnp.sqrt(jnp.asarray(d, hidden.dtype))
+    value = dense(p["value"], hidden, dtype)
     logits = jnp.einsum("mh,bnh->bmn", p["query"].astype(hidden.dtype), key)
     if mask is not None:
         logits = jnp.where(mask[:, None] > 0, logits, jnp.finfo(jnp.float32).min)
@@ -306,7 +311,8 @@ def text_encoder_apply(
     x, new_cache = _run_text_blocks(params["blocks"], x, cfg, bias, cache=cache,
                                     train=train, dtype=dtype,
                                     rngs=r(1) if rngs is not None else None)
-    pooled = text_pooler_apply(params["pooler"], x, attention_mask) if pool else None
+    pooled = (text_pooler_apply(params["pooler"], x, attention_mask, dtype=dtype)
+              if pool else None)
     return pooled, x, new_cache
 
 

@@ -35,6 +35,38 @@ NEG_INF = -1e30
 # count twice; the fp32 logits tile and softmax temporaries count once.
 VMEM_BUDGET_BYTES = 15 * 1024 * 1024
 
+# Softmax numerics mode (kernels are VPU-bound at long seq, so every pass
+# over the (Q, S) logits tile is material; measured at 30 s / B=32 on v5e,
+# same-session interleaved):
+#   "max":   exp(l − rowmax) — overflow-proof for ANY logit magnitude but
+#            pays a full per-row max reduction over the tile.  342 clips/s.
+#   "clamp": exp(min(l, 80)) — skips the max pass; bit-equivalent to exact
+#            softmax (up to fp32 reassociation) whenever logits ≤ 80, and
+#            degrades to equal weights among >80 entries instead of NaN
+#            beyond (e^80·S < fp32 max keeps every downstream term finite
+#            with in-place normalization).  ~+6% end-to-end.
+#   "nomax": exp(l) straight — fastest but produces inf/NaN the moment any
+#            logit exceeds 88; opt-in for checkpoints with known range.
+# Trained attention logits beyond 80 are rare but real (attention-sink
+# heads in large ViTs), hence "clamp" as the shipped default.
+SOFTMAX_MODE = "clamp"
+SOFTMAX_CLAMP = 80.0
+
+# Normalization placement.  Deferring the 1/rowsum divide from the (Q, S)
+# probabilities to the (Q, Dh) output is one fewer big-tile pass, but the
+# P@V accumulator then sees UNNORMALIZED p̃: safe when p̃ ≤ 1 ("max" mode),
+# overflow-able at e^80 scale otherwise — so defer is only used in "max"
+# mode unless explicitly overridden.  At seq 1536 the blocked kernel's
+# defer form additionally busts the 16M scoped VMEM in "max" mode
+# (19.2M measured); it compiles in "clamp"/"nomax" (lighter temporaries).
+ONE_SHOT_DEFER_NORM = True    # honoured only where safe (see _defer_ok)
+BLOCKED_DEFER_NORM = False
+
+
+def _defer_ok(defer: bool) -> bool:
+    """Deferred normalization is numerically safe only when p̃ ≤ 1."""
+    return defer and SOFTMAX_MODE == "max"
+
 
 def kernel_plan(seq: int, d_model: int, dtype):
     """→ execution plan for the kernel, or None → XLA einsum path.
@@ -102,9 +134,16 @@ def _head_softmax_unnorm(q, k, kmask, head_dim):
         qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Q, S)
     logits = jnp.where(kmask, logits, NEG_INF)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    return p, jnp.sum(p, axis=-1, keepdims=True)
+    if SOFTMAX_MODE == "max":
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        return p, jnp.sum(p, axis=-1, keepdims=True)
+    # max-free forms: masked lanes exp(-1e30) → 0 exactly; fully-masked
+    # (padded query) rows get rowsum 0, guarded so they emit 0 not NaN.
+    if SOFTMAX_MODE == "clamp":
+        logits = jnp.minimum(logits, SOFTMAX_CLAMP)
+    p = jnp.exp(logits)
+    return p, jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-37)
 
 
 def _head_softmax(q, k, kmask, head_dim):
@@ -113,26 +152,25 @@ def _head_softmax(q, k, kmask, head_dim):
     return p / s
 
 
-def _attend_heads(xq, k_src, v_src, kmask, num_heads, head_dim, out_ref,
-                  defer_norm: bool = True):
+def _attend_heads(xq, k_src, v_src, kmask, num_heads, head_dim, out_ref):
     """Shared all-heads attention loop: q from xq columns, k/v from the
     given sources, outputs written per head into out_ref's row block.
 
-    defer_norm=True divides the (Q, Dh) output instead of the (Q, S)
-    probabilities — measured +2% end-to-end at seq 500 (v5e, r3) — but
-    raises Mosaic's scoped-VMEM stack (p and o alive together): the
-    blocked kernel at seq 1536 exceeds the 16M limit with it, so that
-    caller keeps the in-place normalized form."""
+    Deferred normalization (divide the (Q, Dh) output instead of the
+    (Q, S) probabilities — measured +2% end-to-end at seq 500 on v5e)
+    is applied only when numerically safe (_defer_ok): it needs p̃ ≤ 1
+    so the P@V accumulator can't overflow."""
+    defer = _defer_ok(ONE_SHOT_DEFER_NORM)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = xq[:, sl]
         k = k_src[:, sl]
         v = v_src[:, sl]
         p, rowsum = _head_softmax_unnorm(q, k, kmask, head_dim)
-        if not defer_norm:
+        if not defer:
             p = p / rowsum
         o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
-        if defer_norm:
+        if defer:
             o = o / rowsum
         out_ref[0, :, sl] = o.astype(out_ref.dtype)
 
@@ -163,13 +201,17 @@ def _kernel_blocked(num_heads: int, head_dim: int,
     probabilities normalize in place here."""
     d = num_heads * head_dim
     kmask = mask_ref[0] > 0  # (1, S)
+    defer = _defer_ok(BLOCKED_DEFER_NORM)
     for h in range(num_heads):
         q = q_ref[0, :, pl.ds(h * head_dim, head_dim)]
         k = kv_ref[0, :, pl.ds(h * head_dim, head_dim)]
         v = kv_ref[0, :, pl.ds(d + h * head_dim, head_dim)]
         p, rowsum = _head_softmax_unnorm(q, k, kmask, head_dim)
-        p = p / rowsum
+        if not defer:
+            p = p / rowsum
         o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
+        if defer:
+            o = o / rowsum
         out_ref[0, :, pl.ds(h * head_dim, head_dim)] = o.astype(out_ref.dtype)
 
 

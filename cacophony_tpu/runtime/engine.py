@@ -127,7 +127,8 @@ class CacoEngine:
                 bufs, lens, self.front, self.patch,
                 interpret=jax.default_backend() != "tpu")
         return jax.vmap(
-            lambda b, n: wav_to_patches(b, n, self.front, self.patch))(bufs, lens)
+            lambda b, n: wav_to_patches(b, n, self.front, self.patch,
+                                        dtype=self.cfg.dtype))(bufs, lens)
 
     # ------------------------------------------------------------ compiled
 

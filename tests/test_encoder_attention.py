@@ -260,3 +260,47 @@ def test_preferred_seq_len_rounds_blocked_budgets():
     assert got == plan[1] and got % plan[2] == 0 and got >= 1500
     # rounded budget is a fixed point
     assert ea.preferred_seq_len(got, 768, jnp.bfloat16) == got
+
+
+@pytest.mark.parametrize("mode", ["max", "clamp", "nomax"])
+def test_softmax_modes_match_at_normal_scale(mode):
+    """All three softmax numerics modes agree for in-range logits."""
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    b, s, h, dh = 2, 24, 2, 8
+    qkv = jax.random.normal(jax.random.PRNGKey(11), (b, s, 3 * h * dh))
+    mask = jnp.ones((b, s), jnp.int32).at[1, 16:].set(0)
+    old = ea.SOFTMAX_MODE
+    try:
+        ea.SOFTMAX_MODE = "max"
+        ref = encoder_attention(qkv, mask, h, True)
+        ea.SOFTMAX_MODE = mode
+        got = encoder_attention(qkv, mask, h, True)
+    finally:
+        ea.SOFTMAX_MODE = old
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(got)[m], np.asarray(ref)[m],
+                               atol=2e-6)
+
+
+def test_clamp_mode_finite_at_extreme_logits():
+    """clamp (the default) must stay finite even when logits exceed the
+    fp32 exp-overflow point; nomax is the documented-unsafe contrast."""
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    b, s, h, dh = 1, 16, 1, 8
+    # q·k/√dh ≈ 8·30·30/√8 >> 88: exp overflows without clamp/max
+    qkv = jnp.full((b, s, 3 * h * dh), 30.0)
+    mask = jnp.ones((b, s), jnp.int32)
+    old = ea.SOFTMAX_MODE
+    try:
+        ea.SOFTMAX_MODE = "clamp"
+        out_clamp = np.asarray(encoder_attention(qkv, mask, h, True))
+        ea.SOFTMAX_MODE = "max"
+        out_max = np.asarray(encoder_attention(qkv, mask, h, True))
+    finally:
+        ea.SOFTMAX_MODE = old
+    assert np.isfinite(out_clamp).all()
+    # saturated-but-uniform logits: clamp degrades to the same uniform
+    # weighting exact softmax produces, so outputs still agree here
+    np.testing.assert_allclose(out_clamp, out_max, atol=1e-5)
