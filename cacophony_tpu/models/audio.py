@@ -95,10 +95,24 @@ def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
 
     h = None
     if flash_mask is not None and det:
-        # inference fast path: LN1 + QKV + attention in one Pallas kernel
-        # (the LN'd activations and QKV tensor never touch HBM)
-        from cacophony_tpu.ops.encoder_attention import try_fused_ln_attention
+        # inference fast path: the whole pre-MLP half of the block
+        # (LN1 + QKV + attention + o-proj + residual + LN2) in one Pallas
+        # kernel — only the MLP matmuls remain in XLA between kernels
+        from cacophony_tpu.ops.encoder_attention import (
+            try_fused_block_attention,
+            try_fused_ln_attention,
+        )
 
+        res = try_fused_block_attention(p, x, flash_mask, num_heads,
+                                        LN_EPS, dtype)
+        if res is not None:
+            y, h2 = res
+            h2 = dense(p["mlp"]["w1"], h2, dtype)
+            h2 = jax.nn.silu(h2)
+            h2 = dense(p["mlp"]["w2"], h2, dtype)
+            return y + h2
+
+        # narrower fallback: LN1 + QKV + attention only
         h = try_fused_ln_attention(p["ln1"], p["attn"], x, flash_mask,
                                    num_heads, LN_EPS, dtype)
         if h is not None:

@@ -351,6 +351,401 @@ def _pallas_fused_ln(ln_p, qkv_p, x, mask, num_heads, eps,
       mask.astype(jnp.int32)[:, None, :])
 
 
+# o-projection strategy inside the whole-block kernels:
+#   "per_head": o_h @ Wo[h·Dh:(h+1)·Dh, :] accumulated in fp32 — row slices
+#               of the weight ref are sublane-aligned, but each matmul has
+#               K = Dh (96 < the 128 MXU tile).
+#   "concat":   concatenate head outputs to (S, D) and do ONE K = D matmul.
+# Measured at 10 s / B=128 (v5e, same-session interleaved, 4 trials):
+# base (no block kernel) 1484.4, per_head 1458.9, concat 1498.6 clips/s —
+# the K=96 per-head matmuls underfill the MXU; one K=768 matmul wins.
+FUSED_BLOCK_OPROJ = "concat"
+
+
+def _attend_oproj(xq, k_src, v_src, kmask, num_heads, head_dim, wo_ref,
+                  dtype):
+    """All-heads attention + o-projection → fp32 (S, D) accumulator."""
+    d = num_heads * head_dim
+    defer = _defer_ok(ONE_SHOT_DEFER_NORM)
+    acc = None
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q, k, v = xq[:, sl], k_src[:, sl], v_src[:, sl]
+        p, rowsum = _head_softmax_unnorm(q, k, kmask, head_dim)
+        if not defer:
+            p = p / rowsum
+        o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
+        if defer:
+            o = o / rowsum
+        if FUSED_BLOCK_OPROJ == "concat":
+            outs.append(o.astype(dtype))
+        else:
+            contrib = jnp.dot(o.astype(dtype),
+                              wo_ref[pl.ds(h * head_dim, head_dim), :],
+                              preferred_element_type=jnp.float32)  # (S, D)
+            acc = contrib if acc is None else acc + contrib
+    if FUSED_BLOCK_OPROJ == "concat":
+        acc = jnp.dot(jnp.concatenate(outs, axis=-1), wo_ref[:],
+                      preferred_element_type=jnp.float32)
+    return acc
+
+
+def _fused_block_kernel(num_heads: int, head_dim: int, eps: float,
+                        x_ref, w_ref, b_ref, ls_ref, lb_ref,
+                        wo_ref, bo_ref, ls2_ref, lb2_ref, mask_ref,
+                        y_ref, ln2_ref):
+    """Whole pre-MLP half of a ViT block in ONE kernel:
+
+        y   = x + (Attention(LN1(x)·Wqkv) @ Wo + bo)
+        ln2 = LayerNorm2(y)
+
+    emitted as TWO outputs so the surrounding XLA program is reduced to
+    pure MLP matmuls (w1·silu·w2 + residual add) between kernel calls.
+    Motivation (v5e xplane, B=128 seq-500): with LN1+QKV+attention fused,
+    the remaining per-layer residue was the separate o-proj dispatch, the
+    attention residual add and the MLP pre-LN (`convert_reduce_fusion`,
+    0.42 ms/layer ≈ 5 ms/batch) — all HBM round-trips over (B,S,D) that
+    this epilogue computes from tiles already resident in VMEM.
+
+    The o-projection accumulates per head: o_h @ Wo[h·Dh:(h+1)·Dh, :]
+    summed in fp32 — row slices of the weight ref are sublane-aligned
+    (96 % 8 == 0), unlike the lane-unaligned value concat of heads.
+    LN2 recomputes statistics from the bf16-cast y so its numerics match
+    the unfused `layer_norm(y)` path bit-for-bit up to the cast."""
+    d = num_heads * head_dim
+    xb = x_ref[0].astype(jnp.float32)        # (S, D)
+    mu = jnp.mean(xb, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xb - mu), axis=-1, keepdims=True)
+    xn = (xb - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * ls_ref[0] + lb_ref[0]).astype(y_ref.dtype)
+
+    x = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+    x = (x + b_ref[0]).astype(y_ref.dtype)   # (S, 3·H·Dh)
+
+    kmask = mask_ref[0] > 0
+    acc = _attend_oproj(x[:, :d], x[:, d:2 * d], x[:, 2 * d:], kmask,
+                        num_heads, head_dim, wo_ref, y_ref.dtype)
+
+    y = acc + bo_ref[0] + xb                 # fp32 residual
+    yb = y.astype(y_ref.dtype)
+    y_ref[0] = yb
+
+    y32 = yb.astype(jnp.float32)             # LN2 from the cast value
+    mu2 = jnp.mean(y32, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(y32 - mu2), axis=-1, keepdims=True)
+    yn = (y32 - mu2) * jax.lax.rsqrt(var2 + eps)
+    ln2_ref[0] = (yn * ls2_ref[0] + lb2_ref[0]).astype(ln2_ref.dtype)
+
+
+# The block kernel holds x, qkv, logits, probs, the o-proj accumulator and
+# two outputs at once — beyond Mosaic's conservative 16M default scoped
+# budget but far under the chip's physical VMEM (v5e: 128M).  The kernel
+# manages its own residency, so the pipelining headroom the default
+# protects is not load-bearing here.
+BLOCK_KERNEL_VMEM_LIMIT = 100 * 1024 * 1024
+BLOCK_KERNEL_BUDGET = 60 * 1024 * 1024
+
+
+def fused_block_fits(seq: int, d_model: int, dtype) -> bool:
+    """Static working-set model for the block kernel (double-buffered
+    in/out blocks + resident weights + fp32 scratch) vs the raised limit."""
+    esize = jnp.dtype(dtype).itemsize
+    blocks = (3 * seq * d_model * esize           # x in + y/ln2 out
+              + d_model * 3 * d_model * esize     # w_qkv
+              + d_model * d_model * esize)        # w_o
+    scratch = (seq * 3 * d_model * esize          # qkv value
+               + seq * seq * 4 + seq * seq * esize  # logits + probs
+               + 2 * seq * d_model * 4)           # o-proj acc + y fp32
+    return 2 * blocks + scratch <= BLOCK_KERNEL_BUDGET
+
+
+def _pallas_fused_block(blk_p, x, mask, num_heads, eps, interpret=False):
+    """(y, ln2y) via the whole-block kernel.  blk_p carries ln1/attn/ln2."""
+    b, s, d = x.shape
+    head_dim = d // num_heads
+    qkv_p, o_p = blk_p["attn"]["qkv"], blk_p["attn"]["o"]
+
+    vma = getattr(jax.typeof(x), "vma", None)
+    sds = (lambda shape: jax.ShapeDtypeStruct(shape, x.dtype, vma=vma)
+           if vma else jax.ShapeDtypeStruct(shape, x.dtype))
+
+    kern = functools.partial(_fused_block_kernel, num_heads, head_dim, eps)
+    return pl.pallas_call(
+        kern,
+        grid=(b, 1),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[sds((b, s, d)), sds((b, s, d))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=BLOCK_KERNEL_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, qkv_p["w"].astype(x.dtype),
+      qkv_p["b"].astype(jnp.float32)[None],
+      blk_p["ln1"]["scale"].astype(jnp.float32)[None],
+      blk_p["ln1"]["bias"].astype(jnp.float32)[None],
+      o_p["w"].astype(x.dtype),
+      o_p["b"].astype(jnp.float32)[None],
+      blk_p["ln2"]["scale"].astype(jnp.float32)[None],
+      blk_p["ln2"]["bias"].astype(jnp.float32)[None],
+      mask.astype(jnp.int32)[:, None, :])
+
+
+def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
+                                q_block: int,
+                                x_row_ref, xq_ref, w_ref, b_ref, ls_ref,
+                                lb_ref, wo_ref, bo_ref, ls2_ref, lb2_ref,
+                                mask_ref, y_ref, ln2_ref, qkv_scratch):
+    """Long-sequence variant of the whole-block kernel: at q-block 0 of each
+    batch row, LN1 + the full-row QKV projection run ONCE into a VMEM
+    scratch (TPU grids execute sequentially, so the scratch stays valid
+    across the row's q-blocks); every q-block then streams attention +
+    o-proj + residual + LN2 from that scratch.  This is the "stream K|V,
+    single-buffered" form the 16M default scoped budget rejected — the
+    kernel runs under a raised vmem_limit_bytes (v5e has 128M physical;
+    working set ≈ 28M at seq 1536 / q-block 256)."""
+    d = num_heads * head_dim
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xb = x_row_ref[0].astype(jnp.float32)        # (S_pad, D)
+        mu = jnp.mean(xb, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xb - mu), axis=-1, keepdims=True)
+        xn = (xb - mu) * jax.lax.rsqrt(var + eps)
+        xn = (xn * ls_ref[0] + lb_ref[0]).astype(qkv_scratch.dtype)
+        qkv = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+        qkv_scratch[:, :] = (qkv + b_ref[0]).astype(qkv_scratch.dtype)
+
+    kmask = mask_ref[0] > 0
+    defer = _defer_ok(BLOCKED_DEFER_NORM)
+    q_rows = pl.ds(pl.multiple_of(j * q_block, 8), q_block)
+    acc = None
+    outs = []
+    for h in range(num_heads):
+        # head slices on the scratch REF (pl.ds): value slicing at 96-col
+        # offsets made Mosaic retile every matmul operand (+15% when fixed)
+        q = qkv_scratch[q_rows, pl.ds(h * head_dim, head_dim)]
+        k = qkv_scratch[:, pl.ds(d + h * head_dim, head_dim)]
+        v = qkv_scratch[:, pl.ds(2 * d + h * head_dim, head_dim)]
+        p, rowsum = _head_softmax_unnorm(q, k, kmask, head_dim)
+        if not defer:
+            p = p / rowsum
+        o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
+        if defer:
+            o = o / rowsum
+        if FUSED_BLOCK_OPROJ == "concat":
+            outs.append(o.astype(y_ref.dtype))
+        else:
+            contrib = jnp.dot(o.astype(y_ref.dtype),
+                              wo_ref[pl.ds(h * head_dim, head_dim), :],
+                              preferred_element_type=jnp.float32)
+            acc = contrib if acc is None else acc + contrib
+    if FUSED_BLOCK_OPROJ == "concat":
+        acc = jnp.dot(jnp.concatenate(outs, axis=-1), wo_ref[:],
+                      preferred_element_type=jnp.float32)
+
+    y = acc + bo_ref[0] + xq_ref[0].astype(jnp.float32)
+    yb = y.astype(y_ref.dtype)
+    y_ref[0] = yb
+
+    y32 = yb.astype(jnp.float32)
+    mu2 = jnp.mean(y32, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(y32 - mu2), axis=-1, keepdims=True)
+    yn = (y32 - mu2) * jax.lax.rsqrt(var2 + eps)
+    ln2_ref[0] = (yn * ls2_ref[0] + lb2_ref[0]).astype(ln2_ref.dtype)
+
+
+# q-block for the fused blocked kernel.  The conservative 16M plan forced
+# 256; under the raised limit 512 also fits — sweep on hardware.
+FUSED_BLOCKED_Q_BLOCK = 256
+
+
+def fused_block_blocked_fits(s_pad: int, qb: int, d: int, dtype) -> bool:
+    esize = jnp.dtype(dtype).itemsize
+    blocks = (s_pad * d + qb * d            # x row + x q-block
+              + d * 3 * d + d * d           # w_qkv + w_o
+              + 2 * qb * d) * esize         # y + ln2 out
+    scratch = (s_pad * 3 * d * esize        # qkv scratch
+               + qb * s_pad * (4 + esize)   # logits + probs
+               + 2 * qb * d * 4)            # o-proj acc + y fp32
+    return 2 * blocks + scratch <= BLOCK_KERNEL_BUDGET
+
+
+def _pallas_fused_block_blocked(blk_p, x, mask, num_heads, eps,
+                                q_block, interpret=False):
+    b, s, d = x.shape
+    head_dim = d // num_heads
+    s_pad = -(-s // q_block) * q_block
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, s_pad - s)))
+    n_qb = s_pad // q_block
+    qkv_p, o_p = blk_p["attn"]["qkv"], blk_p["attn"]["o"]
+
+    vma = getattr(jax.typeof(x), "vma", None)
+    sds = (lambda shape: jax.ShapeDtypeStruct(shape, x.dtype, vma=vma)
+           if vma else jax.ShapeDtypeStruct(shape, x.dtype))
+
+    kern = functools.partial(_fused_block_kernel_blocked, num_heads,
+                             head_dim, eps, q_block)
+    y, ln2y = pl.pallas_call(
+        kern,
+        grid=(b, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[sds((b, s_pad, d)), sds((b, s_pad, d))],
+        scratch_shapes=[pltpu.VMEM((s_pad, 3 * d), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=BLOCK_KERNEL_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, x, qkv_p["w"].astype(x.dtype),
+      qkv_p["b"].astype(jnp.float32)[None],
+      blk_p["ln1"]["scale"].astype(jnp.float32)[None],
+      blk_p["ln1"]["bias"].astype(jnp.float32)[None],
+      o_p["w"].astype(x.dtype),
+      o_p["b"].astype(jnp.float32)[None],
+      blk_p["ln2"]["scale"].astype(jnp.float32)[None],
+      blk_p["ln2"]["bias"].astype(jnp.float32)[None],
+      mask.astype(jnp.int32)[:, None, :])
+    return y[:, :s], ln2y[:, :s]
+
+
+def _xla_block(blk_p, x, mask, num_heads, eps):
+    """XLA reference of the whole-block kernels (backward remat)."""
+    out = _xla_ln_attention(blk_p["ln1"], blk_p["attn"]["qkv"], x, mask,
+                            num_heads, eps)
+    o_p = blk_p["attn"]["o"]
+    y = x + (jnp.dot(out, o_p["w"].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+             + o_p["b"]).astype(x.dtype)
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mu), axis=-1, keepdims=True)
+    yn = (yf - mu) * jax.lax.rsqrt(var + eps)
+    ln2 = (yn * blk_p["ln2"]["scale"] + blk_p["ln2"]["bias"]).astype(x.dtype)
+    return y, ln2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_block_attention(blk_p, x, mask, num_heads, eps, variant, interpret):
+    """(y, ln2y) = whole pre-MLP block half.  variant: ("one_shot",) or
+    ("blocked", q_block).  Differentiable via XLA-remat backward (training
+    call sites keep the unfused route for dropout/droppath RNG)."""
+    if variant[0] == "one_shot":
+        y, ln2y = _pallas_fused_block(blk_p, x, mask, num_heads, eps,
+                                      interpret)
+        return y, ln2y
+    return _pallas_fused_block_blocked(blk_p, x, mask, num_heads, eps,
+                                       variant[1], interpret)
+
+
+def _fused_block_fwd(blk_p, x, mask, num_heads, eps, variant, interpret):
+    out = fused_block_attention(blk_p, x, mask, num_heads, eps, variant,
+                                interpret)
+    return out, (blk_p, x, mask)
+
+
+def _fused_block_bwd(num_heads, eps, variant, interpret, residuals, g):
+    import numpy as np
+
+    blk_p, x, mask = residuals
+    _, vjp = jax.vjp(
+        lambda bp, xx: _xla_block(bp, xx, mask, num_heads, eps), blk_p, x)
+    d_p, d_x = vjp(tuple(gg.astype(x.dtype) for gg in g))
+    if jnp.issubdtype(mask.dtype, jnp.integer):
+        d_mask = np.zeros(mask.shape, jax.dtypes.float0)
+    else:
+        d_mask = jnp.zeros_like(mask)
+    return d_p, d_x, d_mask
+
+
+fused_block_attention.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def try_fused_block_attention(blk_p, x, mask, num_heads, eps, dtype):
+    """→ (y, ln2y) for the whole pre-MLP half of a ViT block, or None when
+    ineligible (no kernel plan, capacity, vma-checked interpret mode).
+    Dispatches one-shot (short seq) or scratch-QKV blocked (long seq).
+    Differentiable (XLA-remat backward); training call sites keep the
+    unfused route for dropout/droppath RNG."""
+    interp = jax.default_backend() != "tpu"
+    if interp and bool(getattr(jax.typeof(x), "vma", None)):
+        return None
+    b, s, d = x.shape
+    compute_dtype = dtype if dtype is not None else x.dtype
+    plan = kernel_plan(s, d, compute_dtype)
+    if plan is None:
+        return None
+    sub = {"ln1": blk_p["ln1"], "attn": blk_p["attn"], "ln2": blk_p["ln2"]}
+    if plan[0] == "one_shot":
+        if not fused_block_fits(s, d, compute_dtype):
+            return None
+        variant = ("one_shot",)
+    else:
+        qb = FUSED_BLOCKED_Q_BLOCK
+        s_pad = -(-s // qb) * qb
+        if not fused_block_blocked_fits(s_pad, qb, d, compute_dtype):
+            return None
+        variant = ("blocked", qb)
+    return fused_block_attention(sub, x.astype(compute_dtype), mask,
+                                 num_heads, eps, variant, interp)
+
+
 def _xla_ln_attention(ln_p, qkv_p, x, mask, num_heads, eps):
     """XLA reference of the fused-LN kernel's math (backward remat)."""
     xf = x.astype(jnp.float32)

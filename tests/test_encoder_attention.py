@@ -304,3 +304,67 @@ def test_clamp_mode_finite_at_extreme_logits():
     # saturated-but-uniform logits: clamp degrades to the same uniform
     # weighting exact softmax produces, so outputs still agree here
     np.testing.assert_allclose(out_clamp, out_max, atol=1e-5)
+
+
+def _block_reference(p, x, mask, h, eps):
+    """Unfused composition the whole-block kernel must reproduce."""
+    from cacophony_tpu.models.layers import layer_norm, mask_to_bias
+
+    bias = mask_to_bias(mask)[:, None, None, :]
+    ln1 = layer_norm(p["ln1"], x, eps)
+    attn, _ = multi_head_attention(p["attn"], ln1, num_heads=h, bias=bias,
+                                   dtype=x.dtype)
+    y = x + attn
+    return y, layer_norm(p["ln2"], y, eps)
+
+
+def test_fused_block_one_shot_matches_reference():
+    """LN1+QKV+attention+o-proj+residual+LN2 in one kernel == composition."""
+    from cacophony_tpu.models.audio import _block_init
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    d, h, b, s = 64, 4, 2, 48
+    p = _block_init(jax.random.PRNGKey(0), d, 4 * d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, s, d)) * 0.5
+    mask = jnp.ones((b, s), jnp.int32).at[1, 40:].set(0)
+
+    assert ea.kernel_plan(s, d, x.dtype)[0] == "one_shot"
+    res = ea.try_fused_block_attention(p, x, mask, h, 1e-6, jnp.float32)
+    assert res is not None
+    y, ln2y = res
+    y_ref, ln2_ref = _block_reference(p, x, mask, h, 1e-6)
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(y)[m], np.asarray(y_ref)[m],
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ln2y)[m], np.asarray(ln2_ref)[m],
+                               atol=3e-5)
+
+
+def test_fused_block_blocked_matches_reference():
+    """Blocked (scratch-QKV) whole-block kernel == composition, incl. the
+    pad-to-q-block path (s=200 → s_pad 256 with q-block 128)."""
+    from cacophony_tpu.models.audio import _block_init
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    d, h, b, s = 32, 2, 2, 200
+    p = _block_init(jax.random.PRNGKey(2), d, 4 * d)
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, s, d)) * 0.5
+    mask = jnp.ones((b, s), jnp.int32).at[0, 150:].set(0)
+
+    old_budget, old_qb = ea.VMEM_BUDGET_BYTES, ea.FUSED_BLOCKED_Q_BLOCK
+    try:
+        ea.VMEM_BUDGET_BYTES = 500_000  # force a blocked plan at s=200
+        ea.FUSED_BLOCKED_Q_BLOCK = 128
+        assert ea.kernel_plan(s, d, x.dtype)[0] == "blocked"
+        res = ea.try_fused_block_attention(p, x, mask, h, 1e-6, jnp.float32)
+    finally:
+        ea.VMEM_BUDGET_BYTES, ea.FUSED_BLOCKED_Q_BLOCK = old_budget, old_qb
+    assert res is not None
+    y, ln2y = res
+    assert y.shape == (b, s, d) and ln2y.shape == (b, s, d)
+    y_ref, ln2_ref = _block_reference(p, x, mask, h, 1e-6)
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(y)[m], np.asarray(y_ref)[m],
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ln2y)[m], np.asarray(ln2_ref)[m],
+                               atol=3e-5)
