@@ -95,14 +95,21 @@ def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
 
     h = None
     if flash_mask is not None and det:
-        # inference fast path: the whole pre-MLP half of the block
-        # (LN1 + QKV + attention + o-proj + residual + LN2) in one Pallas
-        # kernel — only the MLP matmuls remain in XLA between kernels
+        # inference fast path, widest fusion first: the ENTIRE layer
+        # (LN1 + QKV + attention + o-proj + residual + LN2 + MLP) in one
+        # Pallas kernel — the (S, intermediate) activation never touches
+        # HBM and the 12-layer stack is 12 kernel calls
         from cacophony_tpu.ops.encoder_attention import (
             try_fused_block_attention,
+            try_fused_layer,
             try_fused_ln_attention,
         )
 
+        out = try_fused_layer(p, x, flash_mask, num_heads, LN_EPS, dtype)
+        if out is not None:
+            return out
+
+        # next: block half in-kernel, MLP matmuls in XLA
         res = try_fused_block_attention(p, x, flash_mask, num_heads,
                                         LN_EPS, dtype)
         if res is not None:

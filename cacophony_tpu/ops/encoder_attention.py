@@ -391,10 +391,34 @@ def _attend_oproj(xq, k_src, v_src, kmask, num_heads, head_dim, wo_ref,
     return acc
 
 
+def _ln_rows(v32, s_ref, b_ref, eps, out_dtype):
+    """Row LayerNorm on an fp32 tile with broadcast scale/bias refs."""
+    mu = jnp.mean(v32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(v32 - mu), axis=-1, keepdims=True)
+    vn = (v32 - mu) * jax.lax.rsqrt(var + eps)
+    return (vn * s_ref[0] + b_ref[0]).astype(out_dtype)
+
+
+def _mlp_tail(yb, yn, w1_ref, b1_ref, w2_ref, b2_ref):
+    """out = y + Dense2(silu(Dense1(ln2y))) — the (S, intermediate)
+    activation lives only in VMEM/registers.  Numerics mirror the XLA
+    path: bf16 matmul operands with fp32 accumulation, bias add + cast
+    to the compute dtype between stages.  silu runs in fp32 before the
+    cast (Mosaic mis-lowers `logistic` on bf16 vectors — fp32 scalar
+    broadcast into a bf16 vector fails MLIR verification)."""
+    h1 = jnp.dot(yn, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = h1 + b1_ref[0]
+    h1 = (h1 * jax.nn.sigmoid(h1)).astype(yb.dtype)   # silu, fp32 → cast
+    h2 = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32)
+    h2 = (h2 + b2_ref[0]).astype(yb.dtype)
+    return yb + h2
+
+
 def _fused_block_kernel(num_heads: int, head_dim: int, eps: float,
+                        with_mlp: bool,
                         x_ref, w_ref, b_ref, ls_ref, lb_ref,
                         wo_ref, bo_ref, ls2_ref, lb2_ref, mask_ref,
-                        y_ref, ln2_ref):
+                        *rest):
     """Whole pre-MLP half of a ViT block in ONE kernel:
 
         y   = x + (Attention(LN1(x)·Wqkv) @ Wo + bo)
@@ -408,34 +432,40 @@ def _fused_block_kernel(num_heads: int, head_dim: int, eps: float,
     0.42 ms/layer ≈ 5 ms/batch) — all HBM round-trips over (B,S,D) that
     this epilogue computes from tiles already resident in VMEM.
 
+    With `with_mlp` the MLP runs in-kernel too (w1·silu·w2 + residual)
+    and the kernel emits ONE output — the next layer's x.  The (S, 4·D)
+    MLP activation then never touches HBM and the whole encoder layer is
+    a single pallas_call.
+
     The o-projection accumulates per head: o_h @ Wo[h·Dh:(h+1)·Dh, :]
     summed in fp32 — row slices of the weight ref are sublane-aligned
     (96 % 8 == 0), unlike the lane-unaligned value concat of heads.
     LN2 recomputes statistics from the bf16-cast y so its numerics match
     the unfused `layer_norm(y)` path bit-for-bit up to the cast."""
     d = num_heads * head_dim
+    if with_mlp:
+        w1_ref, b1_ref, w2_ref, b2_ref, out_ref = rest
+    else:
+        out_ref, ln2_ref = rest
     xb = x_ref[0].astype(jnp.float32)        # (S, D)
-    mu = jnp.mean(xb, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xb - mu), axis=-1, keepdims=True)
-    xn = (xb - mu) * jax.lax.rsqrt(var + eps)
-    xn = (xn * ls_ref[0] + lb_ref[0]).astype(y_ref.dtype)
+    xn = _ln_rows(xb, ls_ref, lb_ref, eps, out_ref.dtype)
 
     x = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
-    x = (x + b_ref[0]).astype(y_ref.dtype)   # (S, 3·H·Dh)
+    x = (x + b_ref[0]).astype(out_ref.dtype)  # (S, 3·H·Dh)
 
     kmask = mask_ref[0] > 0
     acc = _attend_oproj(x[:, :d], x[:, d:2 * d], x[:, 2 * d:], kmask,
-                        num_heads, head_dim, wo_ref, y_ref.dtype)
+                        num_heads, head_dim, wo_ref, out_ref.dtype)
 
     y = acc + bo_ref[0] + xb                 # fp32 residual
-    yb = y.astype(y_ref.dtype)
-    y_ref[0] = yb
-
-    y32 = yb.astype(jnp.float32)             # LN2 from the cast value
-    mu2 = jnp.mean(y32, axis=-1, keepdims=True)
-    var2 = jnp.mean(jnp.square(y32 - mu2), axis=-1, keepdims=True)
-    yn = (y32 - mu2) * jax.lax.rsqrt(var2 + eps)
-    ln2_ref[0] = (yn * ls2_ref[0] + lb2_ref[0]).astype(ln2_ref.dtype)
+    yb = y.astype(out_ref.dtype)
+    yn = _ln_rows(yb.astype(jnp.float32), ls2_ref, lb2_ref, eps,
+                  out_ref.dtype)             # LN2 from the cast value
+    if with_mlp:
+        out_ref[0] = _mlp_tail(yb, yn, w1_ref, b1_ref, w2_ref, b2_ref)
+    else:
+        out_ref[0] = yb
+        ln2_ref[0] = yn
 
 
 # The block kernel holds x, qkv, logits, probs, the o-proj accumulator and
@@ -447,21 +477,27 @@ BLOCK_KERNEL_VMEM_LIMIT = 100 * 1024 * 1024
 BLOCK_KERNEL_BUDGET = 60 * 1024 * 1024
 
 
-def fused_block_fits(seq: int, d_model: int, dtype) -> bool:
+def fused_block_fits(seq: int, d_model: int, dtype,
+                     intermediate: int = 0) -> bool:
     """Static working-set model for the block kernel (double-buffered
-    in/out blocks + resident weights + fp32 scratch) vs the raised limit."""
+    in/out blocks + resident weights + fp32 scratch) vs the raised limit.
+    `intermediate` > 0 adds the in-kernel MLP (weights + activation)."""
     esize = jnp.dtype(dtype).itemsize
     blocks = (3 * seq * d_model * esize           # x in + y/ln2 out
               + d_model * 3 * d_model * esize     # w_qkv
-              + d_model * d_model * esize)        # w_o
+              + d_model * d_model * esize         # w_o
+              + 2 * d_model * intermediate * esize)  # w1 + w2
     scratch = (seq * 3 * d_model * esize          # qkv value
                + seq * seq * 4 + seq * seq * esize  # logits + probs
-               + 2 * seq * d_model * 4)           # o-proj acc + y fp32
+               + 2 * seq * d_model * 4            # o-proj acc + y fp32
+               + seq * intermediate * (4 + esize))  # mlp activation
     return 2 * blocks + scratch <= BLOCK_KERNEL_BUDGET
 
 
-def _pallas_fused_block(blk_p, x, mask, num_heads, eps, interpret=False):
-    """(y, ln2y) via the whole-block kernel.  blk_p carries ln1/attn/ln2."""
+def _pallas_fused_block(blk_p, x, mask, num_heads, eps, interpret=False,
+                        with_mlp=False):
+    """(y, ln2y) — or the full next-layer x when `with_mlp` — via the
+    whole-block kernel.  blk_p carries ln1/attn/ln2 (+ mlp)."""
     b, s, d = x.shape
     head_dim = d // num_heads
     qkv_p, o_p = blk_p["attn"]["qkv"], blk_p["attn"]["o"]
@@ -470,58 +506,79 @@ def _pallas_fused_block(blk_p, x, mask, num_heads, eps, interpret=False):
     sds = (lambda shape: jax.ShapeDtypeStruct(shape, x.dtype, vma=vma)
            if vma else jax.ShapeDtypeStruct(shape, x.dtype))
 
-    kern = functools.partial(_fused_block_kernel, num_heads, head_dim, eps)
+    def vec(width):
+        return pl.BlockSpec((1, width), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        vec(3 * d), vec(d), vec(d),
+        pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        vec(d), vec(d), vec(d),
+        pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        x, qkv_p["w"].astype(x.dtype),
+        qkv_p["b"].astype(jnp.float32)[None],
+        blk_p["ln1"]["scale"].astype(jnp.float32)[None],
+        blk_p["ln1"]["bias"].astype(jnp.float32)[None],
+        o_p["w"].astype(x.dtype),
+        o_p["b"].astype(jnp.float32)[None],
+        blk_p["ln2"]["scale"].astype(jnp.float32)[None],
+        blk_p["ln2"]["bias"].astype(jnp.float32)[None],
+        mask.astype(jnp.int32)[:, None, :],
+    ]
+    if with_mlp:
+        w1, w2 = blk_p["mlp"]["w1"], blk_p["mlp"]["w2"]
+        inter = w1["w"].shape[1]
+        in_specs += [
+            pl.BlockSpec((d, inter), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(inter),
+            pl.BlockSpec((inter, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(d),
+        ]
+        operands += [
+            w1["w"].astype(x.dtype), w1["b"].astype(jnp.float32)[None],
+            w2["w"].astype(x.dtype), w2["b"].astype(jnp.float32)[None],
+        ]
+        out_specs = pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = sds((b, s, d))
+    else:
+        out_specs = [
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [sds((b, s, d)), sds((b, s, d))]
+
+    kern = functools.partial(_fused_block_kernel, num_heads, head_dim, eps,
+                             with_mlp)
     return pl.pallas_call(
         kern,
         grid=(b, 1),
-        in_specs=[
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[sds((b, s, d)), sds((b, s, d))],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=BLOCK_KERNEL_VMEM_LIMIT),
         interpret=interpret,
-    )(x, qkv_p["w"].astype(x.dtype),
-      qkv_p["b"].astype(jnp.float32)[None],
-      blk_p["ln1"]["scale"].astype(jnp.float32)[None],
-      blk_p["ln1"]["bias"].astype(jnp.float32)[None],
-      o_p["w"].astype(x.dtype),
-      o_p["b"].astype(jnp.float32)[None],
-      blk_p["ln2"]["scale"].astype(jnp.float32)[None],
-      blk_p["ln2"]["bias"].astype(jnp.float32)[None],
-      mask.astype(jnp.int32)[:, None, :])
+    )(*operands)
 
 
 def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
-                                q_block: int,
+                                q_block: int, with_mlp: bool,
                                 x_row_ref, xq_ref, w_ref, b_ref, ls_ref,
                                 lb_ref, wo_ref, bo_ref, ls2_ref, lb2_ref,
-                                mask_ref, y_ref, ln2_ref, qkv_scratch):
+                                mask_ref, *rest):
     """Long-sequence variant of the whole-block kernel: at q-block 0 of each
     batch row, LN1 + the full-row QKV projection run ONCE into a VMEM
     scratch (TPU grids execute sequentially, so the scratch stays valid
@@ -529,8 +586,15 @@ def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
     o-proj + residual + LN2 from that scratch.  This is the "stream K|V,
     single-buffered" form the 16M default scoped budget rejected — the
     kernel runs under a raised vmem_limit_bytes (v5e has 128M physical;
-    working set ≈ 28M at seq 1536 / q-block 256)."""
+    working set ≈ 28M at seq 1536 / q-block 256).
+
+    With `with_mlp` the q-block's MLP also runs in-kernel on its (qb, D)
+    LN2 rows and the kernel emits the next layer's x for those rows."""
     d = num_heads * head_dim
+    if with_mlp:
+        w1_ref, b1_ref, w2_ref, b2_ref, out_ref, qkv_scratch = rest
+    else:
+        out_ref, ln2_ref, qkv_scratch = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -561,9 +625,9 @@ def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
         if defer:
             o = o / rowsum
         if FUSED_BLOCK_OPROJ == "concat":
-            outs.append(o.astype(y_ref.dtype))
+            outs.append(o.astype(out_ref.dtype))
         else:
-            contrib = jnp.dot(o.astype(y_ref.dtype),
+            contrib = jnp.dot(o.astype(out_ref.dtype),
                               wo_ref[pl.ds(h * head_dim, head_dim), :],
                               preferred_element_type=jnp.float32)
             acc = contrib if acc is None else acc + contrib
@@ -572,14 +636,14 @@ def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
                       preferred_element_type=jnp.float32)
 
     y = acc + bo_ref[0] + xq_ref[0].astype(jnp.float32)
-    yb = y.astype(y_ref.dtype)
-    y_ref[0] = yb
-
-    y32 = yb.astype(jnp.float32)
-    mu2 = jnp.mean(y32, axis=-1, keepdims=True)
-    var2 = jnp.mean(jnp.square(y32 - mu2), axis=-1, keepdims=True)
-    yn = (y32 - mu2) * jax.lax.rsqrt(var2 + eps)
-    ln2_ref[0] = (yn * ls2_ref[0] + lb2_ref[0]).astype(ln2_ref.dtype)
+    yb = y.astype(out_ref.dtype)
+    yn = _ln_rows(yb.astype(jnp.float32), ls2_ref, lb2_ref, eps,
+                  out_ref.dtype)
+    if with_mlp:
+        out_ref[0] = _mlp_tail(yb, yn, w1_ref, b1_ref, w2_ref, b2_ref)
+    else:
+        out_ref[0] = yb
+        ln2_ref[0] = yn
 
 
 # q-block for the fused blocked kernel.  The conservative 16M plan forced
@@ -587,19 +651,22 @@ def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
 FUSED_BLOCKED_Q_BLOCK = 256
 
 
-def fused_block_blocked_fits(s_pad: int, qb: int, d: int, dtype) -> bool:
+def fused_block_blocked_fits(s_pad: int, qb: int, d: int, dtype,
+                             intermediate: int = 0) -> bool:
     esize = jnp.dtype(dtype).itemsize
     blocks = (s_pad * d + qb * d            # x row + x q-block
               + d * 3 * d + d * d           # w_qkv + w_o
+              + 2 * d * intermediate        # w1 + w2 (with_mlp)
               + 2 * qb * d) * esize         # y + ln2 out
     scratch = (s_pad * 3 * d * esize        # qkv scratch
                + qb * s_pad * (4 + esize)   # logits + probs
-               + 2 * qb * d * 4)            # o-proj acc + y fp32
+               + 2 * qb * d * 4             # o-proj acc + y fp32
+               + qb * intermediate * (4 + esize))  # mlp activation
     return 2 * blocks + scratch <= BLOCK_KERNEL_BUDGET
 
 
 def _pallas_fused_block_blocked(blk_p, x, mask, num_heads, eps,
-                                q_block, interpret=False):
+                                q_block, interpret=False, with_mlp=False):
     b, s, d = x.shape
     head_dim = d // num_heads
     s_pad = -(-s // q_block) * q_block
@@ -613,56 +680,73 @@ def _pallas_fused_block_blocked(blk_p, x, mask, num_heads, eps,
     sds = (lambda shape: jax.ShapeDtypeStruct(shape, x.dtype, vma=vma)
            if vma else jax.ShapeDtypeStruct(shape, x.dtype))
 
+    def vec(width):
+        return pl.BlockSpec((1, width), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        vec(3 * d), vec(d), vec(d),
+        pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        vec(d), vec(d), vec(d),
+        pl.BlockSpec((1, 1, s_pad), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        x, x, qkv_p["w"].astype(x.dtype),
+        qkv_p["b"].astype(jnp.float32)[None],
+        blk_p["ln1"]["scale"].astype(jnp.float32)[None],
+        blk_p["ln1"]["bias"].astype(jnp.float32)[None],
+        o_p["w"].astype(x.dtype),
+        o_p["b"].astype(jnp.float32)[None],
+        blk_p["ln2"]["scale"].astype(jnp.float32)[None],
+        blk_p["ln2"]["bias"].astype(jnp.float32)[None],
+        mask.astype(jnp.int32)[:, None, :],
+    ]
+    qb_spec = pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    if with_mlp:
+        w1, w2 = blk_p["mlp"]["w1"], blk_p["mlp"]["w2"]
+        inter = w1["w"].shape[1]
+        in_specs += [
+            pl.BlockSpec((d, inter), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(inter),
+            pl.BlockSpec((inter, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(d),
+        ]
+        operands += [
+            w1["w"].astype(x.dtype), w1["b"].astype(jnp.float32)[None],
+            w2["w"].astype(x.dtype), w2["b"].astype(jnp.float32)[None],
+        ]
+        out_specs, out_shape = qb_spec, sds((b, s_pad, d))
+    else:
+        out_specs = [qb_spec, qb_spec]
+        out_shape = [sds((b, s_pad, d)), sds((b, s_pad, d))]
+
     kern = functools.partial(_fused_block_kernel_blocked, num_heads,
-                             head_dim, eps, q_block)
-    y, ln2y = pl.pallas_call(
+                             head_dim, eps, q_block, with_mlp)
+    out = pl.pallas_call(
         kern,
         grid=(b, n_qb),
-        in_specs=[
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_pad), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[sds((b, s_pad, d)), sds((b, s_pad, d))],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((s_pad, 3 * d), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=BLOCK_KERNEL_VMEM_LIMIT),
         interpret=interpret,
-    )(x, x, qkv_p["w"].astype(x.dtype),
-      qkv_p["b"].astype(jnp.float32)[None],
-      blk_p["ln1"]["scale"].astype(jnp.float32)[None],
-      blk_p["ln1"]["bias"].astype(jnp.float32)[None],
-      o_p["w"].astype(x.dtype),
-      o_p["b"].astype(jnp.float32)[None],
-      blk_p["ln2"]["scale"].astype(jnp.float32)[None],
-      blk_p["ln2"]["bias"].astype(jnp.float32)[None],
-      mask.astype(jnp.int32)[:, None, :])
-    return y[:, :s], ln2y[:, :s]
+    )(*operands)
+    if with_mlp:
+        return out[:, :s]
+    return out[0][:, :s], out[1][:, :s]
 
 
 def _xla_block(blk_p, x, mask, num_heads, eps):
@@ -744,6 +828,101 @@ def try_fused_block_attention(blk_p, x, mask, num_heads, eps, dtype):
         variant = ("blocked", qb)
     return fused_block_attention(sub, x.astype(compute_dtype), mask,
                                  num_heads, eps, variant, interp)
+
+
+# Whole-layer mode: run the MLP inside the block kernel too, so each
+# encoder layer is ONE pallas_call and the (S, intermediate) activation
+# never round-trips HBM.  A/B'd on hardware against the block+XLA-MLP
+# split (see CLAUDE.md perf log).
+FUSED_BLOCK_MLP = True
+
+
+def _xla_layer(blk_p, x, mask, num_heads, eps):
+    """XLA reference of the whole-layer kernel (backward remat)."""
+    y, ln2 = _xla_block(blk_p, x, mask, num_heads, eps)
+    w1, w2 = blk_p["mlp"]["w1"], blk_p["mlp"]["w2"]
+    h = (jnp.dot(ln2, w1["w"].astype(x.dtype),
+                 preferred_element_type=jnp.float32) + w1["b"]).astype(x.dtype)
+    h = jax.nn.silu(h)
+    h = (jnp.dot(h, w2["w"].astype(x.dtype),
+                 preferred_element_type=jnp.float32) + w2["b"]).astype(x.dtype)
+    return y + h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_layer(blk_p, x, mask, num_heads, eps, variant, interpret):
+    """x_next = full ViT encoder layer (both halves) in one pallas_call.
+    variant: ("one_shot",) or ("blocked", q_block)."""
+    if variant[0] == "one_shot":
+        return _pallas_fused_block(blk_p, x, mask, num_heads, eps,
+                                   interpret, with_mlp=True)
+    return _pallas_fused_block_blocked(blk_p, x, mask, num_heads, eps,
+                                       variant[1], interpret, with_mlp=True)
+
+
+def _fused_layer_fwd(blk_p, x, mask, num_heads, eps, variant, interpret):
+    out = fused_layer(blk_p, x, mask, num_heads, eps, variant, interpret)
+    return out, (blk_p, x, mask)
+
+
+def _fused_layer_bwd(num_heads, eps, variant, interpret, residuals, g):
+    import numpy as np
+
+    blk_p, x, mask = residuals
+    _, vjp = jax.vjp(
+        lambda bp, xx: _xla_layer(bp, xx, mask, num_heads, eps), blk_p, x)
+    d_p, d_x = vjp(g.astype(x.dtype))
+    if jnp.issubdtype(mask.dtype, jnp.integer):
+        d_mask = np.zeros(mask.shape, jax.dtypes.float0)
+    else:
+        d_mask = jnp.zeros_like(mask)
+    return d_p, d_x, d_mask
+
+
+fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+def try_fused_layer(blk_p, x, mask, num_heads, eps, dtype,
+                    allow_blocked: bool = False):
+    """→ next-layer x via the whole-layer kernel, or None when disabled or
+    ineligible.  Same dispatch/capacity rules as the block kernel plus the
+    in-kernel MLP working set.
+
+    ONE-SHOT plans only by default: the blocked form (per-q-block MLP)
+    measured 35% SLOWER at 30 s / seq-1536 on v5e (248 vs 380 clips/s,
+    same-session interleaved) — each q-block's 256-row MLP serializes
+    against its attention inside the sequential grid, while the XLA MLP
+    runs the full 1536-row matmul with full pipelining.  At seq 500 the
+    one-shot form is +0.6% (1537 vs 1529, 4 trials) and shrinks the XLA
+    program to pure scan glue."""
+    if not FUSED_BLOCK_MLP:
+        return None
+    interp = jax.default_backend() != "tpu"
+    if interp and bool(getattr(jax.typeof(x), "vma", None)):
+        return None
+    b, s, d = x.shape
+    compute_dtype = dtype if dtype is not None else x.dtype
+    plan = kernel_plan(s, d, compute_dtype)
+    if plan is None:
+        return None
+    inter = blk_p["mlp"]["w1"]["w"].shape[1]
+    if plan[0] == "one_shot":
+        if not fused_block_fits(s, d, compute_dtype, intermediate=inter):
+            return None
+        variant = ("one_shot",)
+    else:
+        if not allow_blocked:
+            return None
+        qb = FUSED_BLOCKED_Q_BLOCK
+        s_pad = -(-s // qb) * qb
+        if not fused_block_blocked_fits(s_pad, qb, d, compute_dtype,
+                                        intermediate=inter):
+            return None
+        variant = ("blocked", qb)
+    sub = {"ln1": blk_p["ln1"], "attn": blk_p["attn"], "ln2": blk_p["ln2"],
+           "mlp": blk_p["mlp"]}
+    return fused_layer(sub, x.astype(compute_dtype), mask, num_heads, eps,
+                       variant, interp)
 
 
 def _xla_ln_attention(ln_p, qkv_p, x, mask, num_heads, eps):

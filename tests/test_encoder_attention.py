@@ -368,3 +368,84 @@ def test_fused_block_blocked_matches_reference():
                                atol=3e-5)
     np.testing.assert_allclose(np.asarray(ln2y)[m], np.asarray(ln2_ref)[m],
                                atol=3e-5)
+
+
+def _layer_reference(p, x, mask, h, eps):
+    """Unfused full-layer composition the whole-layer kernel reproduces."""
+    from cacophony_tpu.models.layers import dense
+
+    y, ln2 = _block_reference(p, x, mask, h, eps)
+    m = dense(p["mlp"]["w1"], ln2)
+    m = jax.nn.silu(m)
+    m = dense(p["mlp"]["w2"], m)
+    return y + m
+
+
+def test_fused_layer_one_shot_matches_reference():
+    """Whole encoder layer (attn half + MLP) in one kernel == composition."""
+    from cacophony_tpu.models.audio import _block_init
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    d, h, b, s = 64, 4, 2, 48
+    p = _block_init(jax.random.PRNGKey(4), d, 4 * d)
+    x = jax.random.normal(jax.random.PRNGKey(5), (b, s, d)) * 0.5
+    mask = jnp.ones((b, s), jnp.int32).at[1, 40:].set(0)
+
+    out = ea.try_fused_layer(p, x, mask, h, 1e-6, jnp.float32)
+    assert out is not None
+    ref = _layer_reference(p, x, mask, h, 1e-6)
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(out)[m], np.asarray(ref)[m],
+                               atol=5e-5)
+
+
+def test_fused_layer_blocked_matches_reference():
+    from cacophony_tpu.models.audio import _block_init
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    d, h, b, s = 32, 2, 2, 200
+    p = _block_init(jax.random.PRNGKey(6), d, 4 * d)
+    x = jax.random.normal(jax.random.PRNGKey(7), (b, s, d)) * 0.5
+    mask = jnp.ones((b, s), jnp.int32).at[0, 150:].set(0)
+
+    old_budget, old_qb = ea.VMEM_BUDGET_BYTES, ea.FUSED_BLOCKED_Q_BLOCK
+    try:
+        ea.VMEM_BUDGET_BYTES = 500_000  # force a blocked plan at s=200
+        ea.FUSED_BLOCKED_Q_BLOCK = 128
+        assert ea.kernel_plan(s, d, x.dtype)[0] == "blocked"
+        # blocked+MLP is perf-rejected in dispatch (allow_blocked default
+        # False) but the kernel math stays pinned here
+        out = ea.try_fused_layer(p, x, mask, h, 1e-6, jnp.float32,
+                                 allow_blocked=True)
+    finally:
+        ea.VMEM_BUDGET_BYTES, ea.FUSED_BLOCKED_Q_BLOCK = old_budget, old_qb
+    assert out is not None and out.shape == (b, s, d)
+    ref = _layer_reference(p, x, mask, h, 1e-6)
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(out)[m], np.asarray(ref)[m],
+                               atol=5e-5)
+
+
+def test_fused_layer_gradients_match_xla():
+    """custom_vjp backward (XLA remat) == direct autodiff of the math."""
+    from cacophony_tpu.models.audio import _block_init
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    d, h, b, s = 32, 2, 1, 24
+    p = _block_init(jax.random.PRNGKey(8), d, 4 * d)
+    x = jax.random.normal(jax.random.PRNGKey(9), (b, s, d)) * 0.5
+    mask = jnp.ones((b, s), jnp.int32)
+
+    def loss_kernel(pp, xx):
+        return jnp.sum(ea.try_fused_layer(pp, xx, mask, h, 1e-6,
+                                          jnp.float32) ** 2)
+
+    def loss_ref(pp, xx):
+        return jnp.sum(_layer_reference(pp, xx, mask, h, 1e-6) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(p, x)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gk),
+                     jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-3, rtol=2e-3)
