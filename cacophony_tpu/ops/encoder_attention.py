@@ -53,19 +53,36 @@ SOFTMAX_MODE = "clamp"
 SOFTMAX_CLAMP = 80.0
 
 # Normalization placement.  Deferring the 1/rowsum divide from the (Q, S)
-# probabilities to the (Q, Dh) output is one fewer big-tile pass, but the
-# P@V accumulator then sees UNNORMALIZED p̃: safe when p̃ ≤ 1 ("max" mode),
-# overflow-able at e^80 scale otherwise — so defer is only used in "max"
-# mode unless explicitly overridden.  At seq 1536 the blocked kernel's
-# defer form additionally busts the 16M scoped VMEM in "max" mode
-# (19.2M measured); it compiles in "clamp"/"nomax" (lighter temporaries).
-ONE_SHOT_DEFER_NORM = True    # honoured only where safe (see _defer_ok)
-BLOCKED_DEFER_NORM = False
+# probabilities to the (Q, Dh) output is one fewer big-tile VPU op, but
+# the P@V accumulator then sees UNNORMALIZED p̃.  Safety per mode:
+#   "max":   p̃ ≤ 1 — always safe (but at seq 1536 the plain blocked
+#            kernel's defer form busts the default 16M scoped VMEM,
+#            19.2M measured — so blocked defer is clamp-only).
+#   "clamp": p̃ ≤ e^80 could overflow the fp32 accumulator against large
+#            V, so V is pre-scaled by 2^-24 (an exact power of two: zero
+#            precision loss in bf16/fp32) and the output rescaled by
+#            (o / rowsum) · 2^24 on the small (Q, Dh) tile — two steps,
+#            NOT 2^24/rowsum, which infs against the 1e-37 rowsum floor
+#            of fully-masked rows (0 · inf = NaN).  Bounds: accumulator
+#            ≤ S · e^80 · 2^-24 · |v| ≈ 5e30 · |v| — safe to |v| ~ 6e7;
+#            accumulation underflow only when every effective logit in a
+#            row is ≲ −71 (the in-place form's own floor is −87).
+#   "nomax": p̃ = exp(l) is unbounded in fp32 itself — never deferred.
+ONE_SHOT_DEFER_NORM = True
+BLOCKED_DEFER_NORM = True
+
+# exact power-of-two V pre-scale for deferred clamp mode
+VSCALE = 2.0 ** -24
 
 
-def _defer_ok(defer: bool) -> bool:
-    """Deferred normalization is numerically safe only when p̃ ≤ 1."""
-    return defer and SOFTMAX_MODE == "max"
+def _defer_ok(defer: bool, blocked: bool = False) -> bool:
+    if not defer:
+        return False
+    if SOFTMAX_MODE == "clamp":
+        return True            # V-scaled accumulation, overflow-proof
+    if SOFTMAX_MODE == "max":
+        return not blocked     # p̃ ≤ 1; blocked form VMEM-limited
+    return False               # nomax: p̃ unbounded in fp32
 
 
 def kernel_plan(seq: int, d_model: int, dtype):
@@ -117,61 +134,81 @@ def preferred_seq_len(seq: int, d_model: int, dtype) -> int:
     return seq
 
 
-def _head_softmax_unnorm(q, k, kmask, head_dim):
-    """Per-head masked UNNORMALIZED softmax: (exp(logits−max), rowsum).
+def _softmax_kbias(kmask_row):
+    """Per-key bias folding the padding mask AND the clamp ceiling into
+    one (.., S) fp32 vector, computed ONCE per kernel body: valid keys
+    carry the clamp ceiling (or effectively +inf for max/nomax modes),
+    padded keys -1e30.  Every head's logits then need a single
+    `minimum(logits, kbias)` VPU op instead of the two-op
+    where(mask)+minimum(clamp) chain — material because the long-seq
+    kernels are VPU-bound on the (Q, S) tile."""
+    valid = SOFTMAX_CLAMP if SOFTMAX_MODE == "clamp" else -NEG_INF
+    return jnp.where(kmask_row, jnp.float32(valid), jnp.float32(NEG_INF))
+
+
+def _head_softmax_unnorm(q, k, kbias, head_dim):
+    """Per-head masked UNNORMALIZED softmax: (exp-weights, rowsum).
 
     The forward kernels are VPU-bound at long seq (r3 xplane: the blocked
     kernel was 27 ms of a 94 ms 30-s batch, ~12 VPU ops per (Q,S) logit
-    element vs 1.4 ms of MXU time), so every full-tile pass matters.  Two
-    passes are moved off the big tile relative to the naive form:
+    element vs 1.4 ms of MXU time), so every full-tile op matters:
     - the 1/√d scale is folded into q (Q×Dh elements, not Q×S),
-    - normalization is deferred to the OUTPUT tile: callers compute
-      (p̃ @ V) / rowsum on (Q, Dh) instead of p̃/rowsum on (Q, S).
-    Numerics: identical math reordered; p̃ ∈ [0,1] exactly like the
-    normalized form, so the bf16 cast before P@V loses nothing extra."""
+    - padding mask + clamp ceiling arrive pre-merged in kbias (one
+      `minimum`, see _softmax_kbias),
+    - normalization is deferred to the OUTPUT tile where safe: callers
+      compute (p̃ @ V)/rowsum on (Q, Dh) instead of p̃/rowsum on (Q, S).
+    Numerics: identical math reordered."""
     qs = q * jnp.asarray(1.0 / (head_dim ** 0.5), q.dtype)
     logits = jax.lax.dot_general(
         qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Q, S)
-    logits = jnp.where(kmask, logits, NEG_INF)
+    logits = jnp.minimum(logits, kbias)
     if SOFTMAX_MODE == "max":
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         return p, jnp.sum(p, axis=-1, keepdims=True)
     # max-free forms: masked lanes exp(-1e30) → 0 exactly; fully-masked
     # (padded query) rows get rowsum 0, guarded so they emit 0 not NaN.
-    if SOFTMAX_MODE == "clamp":
-        logits = jnp.minimum(logits, SOFTMAX_CLAMP)
     p = jnp.exp(logits)
     return p, jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-37)
 
 
-def _head_softmax(q, k, kmask, head_dim):
+def _head_attend(q, k, v, kbias, head_dim, blocked=False, defer=None):
+    """fp32 (Q, Dh) attention output for one head — the ONE place that
+    decides normalization placement and overflow handling (see the
+    DEFER_NORM / VSCALE notes above)."""
+    if defer is None:
+        defer = BLOCKED_DEFER_NORM if blocked else ONE_SHOT_DEFER_NORM
+    defer = _defer_ok(defer, blocked)
+    p, rowsum = _head_softmax_unnorm(q, k, kbias, head_dim)
+    if not defer:
+        p = p / rowsum
+        return jnp.dot(p.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32)
+    if SOFTMAX_MODE == "clamp":
+        v = v * jnp.asarray(VSCALE, v.dtype)
+        o = jnp.dot(p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+        # divide FIRST: fully-masked rows are 0/(1e-37 floor) = 0, while
+        # the fused (2^24/rowsum) factor would inf and make 0·inf = NaN
+        return (o / rowsum) * jnp.float32(1.0 / VSCALE)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return o / rowsum
+
+
+def _head_softmax(q, k, kbias, head_dim):
     """Normalized probabilities (backward recompute path)."""
-    p, s = _head_softmax_unnorm(q, k, kmask, head_dim)
+    p, s = _head_softmax_unnorm(q, k, kbias, head_dim)
     return p / s
 
 
-def _attend_heads(xq, k_src, v_src, kmask, num_heads, head_dim, out_ref):
+def _attend_heads(xq, k_src, v_src, kbias, num_heads, head_dim, out_ref):
     """Shared all-heads attention loop: q from xq columns, k/v from the
-    given sources, outputs written per head into out_ref's row block.
-
-    Deferred normalization (divide the (Q, Dh) output instead of the
-    (Q, S) probabilities — measured +2% end-to-end at seq 500 on v5e)
-    is applied only when numerically safe (_defer_ok): it needs p̃ ≤ 1
-    so the P@V accumulator can't overflow."""
-    defer = _defer_ok(ONE_SHOT_DEFER_NORM)
+    given sources, outputs written per head into out_ref's row block."""
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = xq[:, sl]
-        k = k_src[:, sl]
-        v = v_src[:, sl]
-        p, rowsum = _head_softmax_unnorm(q, k, kmask, head_dim)
-        if not defer:
-            p = p / rowsum
-        o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
-        if defer:
-            o = o / rowsum
+        o = _head_attend(xq[:, sl], k_src[:, sl], v_src[:, sl], kbias,
+                         head_dim)
         out_ref[0, :, sl] = o.astype(out_ref.dtype)
 
 
@@ -183,8 +220,8 @@ def _kernel(num_heads: int, head_dim: int, q_block: int,
     # slice the q rows from the REF (Mosaic lowers pl.ds on refs, not
     # dynamic_slice on values)
     xq = qkv_ref[0, pl.ds(pl.multiple_of(qb * q_block, 8), q_block), :]
-    kmask = mask_ref[0] > 0  # (1, S) key-side padding mask
-    _attend_heads(xq, x[:, d:2 * d], x[:, 2 * d:], kmask,
+    kbias = _softmax_kbias(mask_ref[0] > 0)  # (1, S) mask+clamp merged
+    _attend_heads(xq, x[:, d:2 * d], x[:, 2 * d:], kbias,
                   num_heads, head_dim, out_ref)
 
 
@@ -196,22 +233,14 @@ def _kernel_blocked(num_heads: int, head_dim: int,
     Head slices are taken on the REFS (pl.ds), not on loaded values:
     value slicing at 96-column offsets is lane-unaligned (head_dim 96 <
     the 128-lane tile) and made Mosaic retile every matmul operand —
-    ref slicing measured +15% end-to-end at 30 s, bit-identical (v5e r3).
-    defer_norm busts the 16M scoped-VMEM limit at seq 1536 (19.2M), so
-    probabilities normalize in place here."""
+    ref slicing measured +15% end-to-end at 30 s, bit-identical (v5e r3)."""
     d = num_heads * head_dim
-    kmask = mask_ref[0] > 0  # (1, S)
-    defer = _defer_ok(BLOCKED_DEFER_NORM)
+    kbias = _softmax_kbias(mask_ref[0] > 0)  # (1, S)
     for h in range(num_heads):
         q = q_ref[0, :, pl.ds(h * head_dim, head_dim)]
         k = kv_ref[0, :, pl.ds(h * head_dim, head_dim)]
         v = kv_ref[0, :, pl.ds(d + h * head_dim, head_dim)]
-        p, rowsum = _head_softmax_unnorm(q, k, kmask, head_dim)
-        if not defer:
-            p = p / rowsum
-        o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
-        if defer:
-            o = o / rowsum
+        o = _head_attend(q, k, v, kbias, head_dim, blocked=True)
         out_ref[0, :, pl.ds(h * head_dim, head_dim)] = o.astype(out_ref.dtype)
 
 
@@ -304,8 +333,8 @@ def _fused_ln_kernel(num_heads: int, head_dim: int, eps: float,
     x = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
     x = (x + b_ref[0]).astype(out_ref.dtype)  # (S, 3·H·Dh)
 
-    kmask = mask_ref[0] > 0
-    _attend_heads(x[:, :d], x[:, d:2 * d], x[:, 2 * d:], kmask,
+    kbias = _softmax_kbias(mask_ref[0] > 0)
+    _attend_heads(x[:, :d], x[:, d:2 * d], x[:, 2 * d:], kbias,
                   num_heads, head_dim, out_ref)
 
 
@@ -362,22 +391,15 @@ def _pallas_fused_ln(ln_p, qkv_p, x, mask, num_heads, eps,
 FUSED_BLOCK_OPROJ = "concat"
 
 
-def _attend_oproj(xq, k_src, v_src, kmask, num_heads, head_dim, wo_ref,
+def _attend_oproj(xq, k_src, v_src, kbias, num_heads, head_dim, wo_ref,
                   dtype):
     """All-heads attention + o-projection → fp32 (S, D) accumulator."""
-    d = num_heads * head_dim
-    defer = _defer_ok(ONE_SHOT_DEFER_NORM)
     acc = None
     outs = []
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        q, k, v = xq[:, sl], k_src[:, sl], v_src[:, sl]
-        p, rowsum = _head_softmax_unnorm(q, k, kmask, head_dim)
-        if not defer:
-            p = p / rowsum
-        o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
-        if defer:
-            o = o / rowsum
+        o = _head_attend(xq[:, sl], k_src[:, sl], v_src[:, sl], kbias,
+                         head_dim)
         if FUSED_BLOCK_OPROJ == "concat":
             outs.append(o.astype(dtype))
         else:
@@ -453,8 +475,8 @@ def _fused_block_kernel(num_heads: int, head_dim: int, eps: float,
     x = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
     x = (x + b_ref[0]).astype(out_ref.dtype)  # (S, 3·H·Dh)
 
-    kmask = mask_ref[0] > 0
-    acc = _attend_oproj(x[:, :d], x[:, d:2 * d], x[:, 2 * d:], kmask,
+    kbias = _softmax_kbias(mask_ref[0] > 0)
+    acc = _attend_oproj(x[:, :d], x[:, d:2 * d], x[:, 2 * d:], kbias,
                         num_heads, head_dim, wo_ref, out_ref.dtype)
 
     y = acc + bo_ref[0] + xb                 # fp32 residual
@@ -607,8 +629,7 @@ def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
         qkv = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
         qkv_scratch[:, :] = (qkv + b_ref[0]).astype(qkv_scratch.dtype)
 
-    kmask = mask_ref[0] > 0
-    defer = _defer_ok(BLOCKED_DEFER_NORM)
+    kbias = _softmax_kbias(mask_ref[0] > 0)
     q_rows = pl.ds(pl.multiple_of(j * q_block, 8), q_block)
     acc = None
     outs = []
@@ -618,12 +639,7 @@ def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
         q = qkv_scratch[q_rows, pl.ds(h * head_dim, head_dim)]
         k = qkv_scratch[:, pl.ds(d + h * head_dim, head_dim)]
         v = qkv_scratch[:, pl.ds(2 * d + h * head_dim, head_dim)]
-        p, rowsum = _head_softmax_unnorm(q, k, kmask, head_dim)
-        if not defer:
-            p = p / rowsum
-        o = jnp.dot(p.astype(k.dtype), v, preferred_element_type=jnp.float32)
-        if defer:
-            o = o / rowsum
+        o = _head_attend(q, k, v, kbias, head_dim, blocked=True)
         if FUSED_BLOCK_OPROJ == "concat":
             outs.append(o.astype(out_ref.dtype))
         else:
@@ -1016,6 +1032,7 @@ def _bwd_kernel(num_heads: int, head_dim: int,
     x = qkv_ref[0]    # (S, 3·H·Dh)
     g = g_ref[0]      # (S, H·Dh)
     kmask = mask_ref[0] > 0  # (1, S)
+    kbias = _softmax_kbias(kmask)
     scale = 1.0 / (head_dim ** 0.5)
 
     for h in range(num_heads):
@@ -1024,7 +1041,7 @@ def _bwd_kernel(num_heads: int, head_dim: int,
         v = x[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
         go = g[:, h * head_dim:(h + 1) * head_dim]
 
-        p = _head_softmax(q, k, kmask, head_dim)             # (S, S) fp32
+        p = _head_softmax(q, k, kbias, head_dim)             # (S, S) fp32
 
         pb = p.astype(x.dtype)
         dv = jax.lax.dot_general(pb, go, (((0,), (0,)), ((), ())),

@@ -449,3 +449,27 @@ def test_fused_layer_gradients_match_xla():
                      jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_defer_norm_fully_masked_chunk_no_nan():
+    """A batch row whose mask is entirely zero except a sentinel (the
+    embed_audio_long tail-chunk shape) must produce finite outputs under
+    the deferred clamp normalization — regression for the 0·inf = NaN
+    from fusing 2^k/rowsum against the fully-masked rowsum floor."""
+    from cacophony_tpu.models.audio import _block_init
+    from cacophony_tpu.ops import encoder_attention as ea
+
+    d, h, b, s = 64, 4, 2, 48
+    p = _block_init(jax.random.PRNGKey(10), d, 4 * d)
+    x = jax.random.normal(jax.random.PRNGKey(11), (b, s, d)) * 0.5
+    mask = jnp.ones((b, s), jnp.int32).at[1, 1:].set(0)  # row 1: 1 valid key
+
+    assert ea.ONE_SHOT_DEFER_NORM and ea.SOFTMAX_MODE == "clamp"
+    res = ea.try_fused_block_attention(p, x, mask, h, 1e-6, jnp.float32)
+    assert res is not None
+    y, ln2y = res
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(np.asarray(ln2y)).all()
+
+    out = ea.try_fused_layer(p, x, mask, h, 1e-6, jnp.float32)
+    assert out is not None and np.isfinite(np.asarray(out)).all()
