@@ -62,7 +62,10 @@ DECODE_LEN = 64
 
 def _pipeline(cfg, front, patch):
     def forward(params, bufs, lens):
-        batch = jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(bufs, lens)
+        # dtype plumb matches CacoEngine._wav_to_patch_batch (bf16 patchify
+        # cast measured as part of the r3 30-s chain)
+        batch = jax.vmap(lambda b, n: wav_to_patches(
+            b, n, front, patch, dtype=cfg.dtype))(bufs, lens)
         emb, _ = get_audio_embedding(
             params, cfg, batch["audio_patches"], batch["audio_time_inds"],
             batch["audio_freq_inds"], batch["audio_mask"],
