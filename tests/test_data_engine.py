@@ -245,3 +245,45 @@ def test_engine_text_bucketing_identical(engine):
     mask_p[len(texts):, 0] = 1
     out = np.asarray(full._text_fn(full.params, ids, mask_p))[:len(texts)]
     np.testing.assert_allclose(bucketed, out, atol=2e-5)
+
+
+def test_tokenizer_differential_vs_transformers(tmp_path):
+    """Native BPE == transformers' RobertaTokenizer (the reference's exact
+    algorithm, slow pure-python implementation loadable from local files —
+    no network) on ids AND decode, including merges, contractions,
+    punctuation, unicode, and leading-space handling."""
+    transformers = pytest.importorskip("transformers")
+    import json
+
+    byte_chars = list(_bytes_to_unicode().values())
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    for c in byte_chars:
+        vocab[c] = len(vocab)
+    merges = [("h", "e"), ("he", "l"), ("hel", "l"), ("Ġ", "d"),
+              ("Ġd", "o"), ("Ġdo", "g"), ("o", "r"), ("l", "d"),
+              ("w", "or"), ("wor", "ld"), ("'", "s")]
+    for a, b in merges:
+        vocab[a + b] = len(vocab)
+    vf, mf = tmp_path / "vocab.json", tmp_path / "merges.txt"
+    vf.write_text(json.dumps(vocab), encoding="utf-8")
+    # trailing newline matters: transformers' parser slices [1:-1] on the
+    # split lines, so a file without it silently loses the LAST merge
+    mf.write_text("#version: 0.2\n"
+                  + "\n".join(f"{a} {b}" for a, b in merges) + "\n",
+                  encoding="utf-8")
+
+    ours = ByteLevelBPETokenizer.from_dir(str(tmp_path))
+    theirs = transformers.RobertaTokenizer(vocab_file=str(vf),
+                                           merges_file=str(mf))
+
+    texts = ["hello world", "the dog's dog", "  two  spaces ",
+             "café ☕ naïve", "don't stop, hell-o!",
+             "tab\there\nnewline", "1234 567", "'s 's"]
+    for t in texts:
+        ref = theirs(t, padding="max_length", truncation=True, max_length=32)
+        got = ours([t], padding="max_length", truncation=True, max_length=32)
+        assert got["input_ids"][0].tolist() == ref["input_ids"], t
+        assert got["attention_mask"][0].tolist() == ref["attention_mask"], t
+        assert (ours.batch_decode(got["input_ids"])[0]
+                == theirs.decode(ref["input_ids"],
+                                 skip_special_tokens=True)), t
