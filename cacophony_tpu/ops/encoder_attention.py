@@ -459,9 +459,9 @@ def _fused_block_kernel(num_heads: int, head_dim: int, eps: float,
     MLP activation then never touches HBM and the whole encoder layer is
     a single pallas_call.
 
-    The o-projection accumulates per head: o_h @ Wo[h·Dh:(h+1)·Dh, :]
-    summed in fp32 — row slices of the weight ref are sublane-aligned
-    (96 % 8 == 0), unlike the lane-unaligned value concat of heads.
+    The o-projection concatenates head outputs and runs ONE K=D matmul
+    (FUSED_BLOCK_OPROJ="concat", the measured winner — per-head K=Dh
+    accumulation underfills the MXU; see the constant's A/B note).
     LN2 recomputes statistics from the bf16-cast y so its numerics match
     the unfused `layer_norm(y)` path bit-for-bit up to the cast."""
     d = num_heads * head_dim
@@ -598,7 +598,7 @@ def _pallas_fused_block(blk_p, x, mask, num_heads, eps, interpret=False,
 
 def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
                                 q_block: int, with_mlp: bool,
-                                x_row_ref, xq_ref, w_ref, b_ref, ls_ref,
+                                x_row_ref, w_ref, b_ref, ls_ref,
                                 lb_ref, wo_ref, bo_ref, ls2_ref, lb2_ref,
                                 mask_ref, *rest):
     """Long-sequence variant of the whole-block kernel: at q-block 0 of each
@@ -608,7 +608,9 @@ def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
     o-proj + residual + LN2 from that scratch.  This is the "stream K|V,
     single-buffered" form the 16M default scoped budget rejected — the
     kernel runs under a raised vmem_limit_bytes (v5e has 128M physical;
-    working set ≈ 28M at seq 1536 / q-block 256).
+    working set ≈ 28M at seq 1536 / q-block 256).  The residual rows are
+    sliced from the RESIDENT x row (index map ignores j), not a second
+    per-q-block operand — one x fetch per row, not two.
 
     With `with_mlp` the q-block's MLP also runs in-kernel on its (qb, D)
     LN2 rows and the kernel emits the next layer's x for those rows."""
@@ -622,10 +624,7 @@ def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
     @pl.when(j == 0)
     def _():
         xb = x_row_ref[0].astype(jnp.float32)        # (S_pad, D)
-        mu = jnp.mean(xb, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xb - mu), axis=-1, keepdims=True)
-        xn = (xb - mu) * jax.lax.rsqrt(var + eps)
-        xn = (xn * ls_ref[0] + lb_ref[0]).astype(qkv_scratch.dtype)
+        xn = _ln_rows(xb, ls_ref, lb_ref, eps, qkv_scratch.dtype)
         qkv = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
         qkv_scratch[:, :] = (qkv + b_ref[0]).astype(qkv_scratch.dtype)
 
@@ -651,7 +650,7 @@ def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
         acc = jnp.dot(jnp.concatenate(outs, axis=-1), wo_ref[:],
                       preferred_element_type=jnp.float32)
 
-    y = acc + bo_ref[0] + xq_ref[0].astype(jnp.float32)
+    y = acc + bo_ref[0] + x_row_ref[0, q_rows, :].astype(jnp.float32)
     yb = y.astype(out_ref.dtype)
     yn = _ln_rows(yb.astype(jnp.float32), ls2_ref, lb2_ref, eps,
                   out_ref.dtype)
@@ -670,7 +669,7 @@ FUSED_BLOCKED_Q_BLOCK = 256
 def fused_block_blocked_fits(s_pad: int, qb: int, d: int, dtype,
                              intermediate: int = 0) -> bool:
     esize = jnp.dtype(dtype).itemsize
-    blocks = (s_pad * d + qb * d            # x row + x q-block
+    blocks = (s_pad * d                     # x row (residual sliced from it)
               + d * 3 * d + d * d           # w_qkv + w_o
               + 2 * d * intermediate        # w1 + w2 (with_mlp)
               + 2 * qb * d) * esize         # y + ln2 out
@@ -703,8 +702,6 @@ def _pallas_fused_block_blocked(blk_p, x, mask, num_heads, eps,
     in_specs = [
         pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
         pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
         vec(3 * d), vec(d), vec(d),
@@ -715,7 +712,7 @@ def _pallas_fused_block_blocked(blk_p, x, mask, num_heads, eps,
                      memory_space=pltpu.VMEM),
     ]
     operands = [
-        x, x, qkv_p["w"].astype(x.dtype),
+        x, qkv_p["w"].astype(x.dtype),
         qkv_p["b"].astype(jnp.float32)[None],
         blk_p["ln1"]["scale"].astype(jnp.float32)[None],
         blk_p["ln1"]["bias"].astype(jnp.float32)[None],
