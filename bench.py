@@ -17,6 +17,12 @@ NOTE (axon relay): block_until_ready() is a no-op, and a host fetch costs
 asynchronously and fetches once at the end — the steady-state serving
 methodology (embed_audio keeps a bounded window of batches in flight the
 same way; per-iteration fetches under-reported throughput by ~20%).
+The closing sync is a PRE-JITTED scalarizer (`float(_FIRST(out))`): an
+eager `out[0, 0]` costs ~3 relay round trips (slice + squeeze + fetch,
+~78 ms measured via xplane) where one jitted dispatch + fetch costs one.
+Together with a 12-16-iteration window this moved the measured 30-s
+number 382 → 412 clips/s and 10-s 1537 → 1578 on identical device code
+(r3, 3 interleaved trials each).
 First uncached compile of the 85M model takes ~5 min through the remote
 compile helper, so the persistent compilation cache is enabled.
 
@@ -55,9 +61,13 @@ BASELINE_FILE = os.path.join(_HERE, "bench_baseline.json")  # committed, read-on
 BASELINE_FILE_LOCAL = os.path.join(_HERE, ".jax_cache", "bench_baseline.json")
 
 BATCH = 128  # bf16 sweep on v5e (r2 kernel): B=128→1421 clips/s, B=256→1335
-ITERS = 8
+ITERS = 16
 DECODE_STREAMS = 64  # r2: 64 streams 15.8k tok/s vs 16 streams 10.3k
 DECODE_LEN = 64
+
+# Pre-jitted sync primitives: one async dispatch + one scalar fetch each.
+_FIRST = jax.jit(lambda x: x[0, 0])
+_LAST = jax.jit(lambda x: x[0, -1])
 
 
 def _pipeline(cfg, front, patch):
@@ -96,12 +106,12 @@ def _throughput(device, batch_size, iters, warmup=2, bf16=False):
         lens = jnp.full((batch_size,), 160_000, jnp.int32)
 
         for _ in range(warmup):
-            float(fwd(params, bufs, lens)[0, 0])  # fetch forces execution
+            float(_FIRST(fwd(params, bufs, lens)))  # fetch forces execution
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
             out = fwd(params, bufs, lens)  # async dispatch; device queues
-        float(out[0, 0])                   # one sync at the end
+        float(_FIRST(out))                 # one sync at the end
         dt = time.perf_counter() - t0
         del params
     return batch_size * iters / dt
@@ -134,17 +144,17 @@ def _decode_throughput(device, num_streams, max_length, bf16=True):
         lens = jnp.full((num_streams,), 160_000, jnp.int32)
         batch = prep(bufs, lens)
 
-        int(run(params, batch, jax.random.PRNGKey(0))[0, -1])  # warmup + fetch
+        int(_LAST(run(params, batch, jax.random.PRNGKey(0))))  # warmup + fetch
         t0 = time.perf_counter()
         trials = 3
         outs = [run(params, batch, jax.random.PRNGKey(i + 1))
                 for i in range(trials)]           # async dispatches
-        int(outs[-1][0, -1])                       # one sync at the end
+        int(_LAST(outs[-1]))                       # one sync at the end
         dt = time.perf_counter() - t0
     return num_streams * (max_length - 1) * trials / dt
 
 
-def _throughput_30s(device, batch_size=32, iters=4, warmup=1):
+def _throughput_30s(device, batch_size=32, iters=12, warmup=1):
     """30-s retrieval/captioning budget (reference eval_caco.py:349-357:
     1500 patches).  The engine's kernel-aware rounding applies: the
     pipeline runs at the blocked plan's padded length (mask-padded,
@@ -161,18 +171,18 @@ def _throughput_30s(device, batch_size=32, iters=4, warmup=1):
         bufs = jnp.asarray(rng.randn(batch_size, 480_000).astype(np.float32) * 0.1)
         lens = jnp.full((batch_size,), 480_000, jnp.int32)
         for _ in range(warmup):
-            float(fwd(params, bufs, lens)[0, 0])
+            float(_FIRST(fwd(params, bufs, lens)))
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
             out = fwd(params, bufs, lens)
-        float(out[0, 0])
+        float(_FIRST(out))
         dt = time.perf_counter() - t0
         del params
     return batch_size * iters / dt
 
 
-def _train_step_ms(device, batch_size=16, iters=4):
+def _train_step_ms(device, batch_size=16, iters=10):
     """Stage-2 contrastive+caption train step, bf16 B=16 (r2: ~100 ms)."""
     from cacophony_tpu.train import TrainConfig, make_caco_train_step
     from cacophony_tpu.train.train import init_train_state
@@ -203,7 +213,7 @@ def _train_step_ms(device, batch_size=16, iters=4):
     return dt / iters * 1000.0
 
 
-def _mae_recon_throughput(device, batch_size=64, iters=4, mask_ratio=0.8):
+def _mae_recon_throughput(device, batch_size=64, iters=8, mask_ratio=0.8):
     """Stage-1 AudioMAE reconstruction forward (85.26M enc + 85.85M dec),
     80% mask, 10-s clips (r2: 499 clips/s)."""
     from cacophony_tpu.models.audio import audiomae_apply, audiomae_init
@@ -230,12 +240,13 @@ def _mae_recon_throughput(device, batch_size=64, iters=4, mask_ratio=0.8):
                 m["freq_inds"], m["restore_time_inds"], m["restore_freq_inds"],
                 m["restore_mask"], dtype=jnp.bfloat16)
 
-        float(recon(params, masked)[0, 0, 0])
+        first3 = jax.jit(lambda x: x[0, 0, 0])
+        float(first3(recon(params, masked)))
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
             out = recon(params, masked)
-        float(out[0, 0, 0])
+        float(first3(out))
         dt = time.perf_counter() - t0
         del params
     return batch_size * iters / dt

@@ -146,8 +146,19 @@ def _softmax_kbias(kmask_row):
     return jnp.where(kmask_row, jnp.float32(valid), jnp.float32(NEG_INF))
 
 
-def _head_softmax_unnorm(q, k, kbias, head_dim):
-    """Per-head masked UNNORMALIZED softmax: (exp-weights, rowsum).
+def _head_logits(q, k, kbias, head_dim):
+    """Masked fp32 (Q, S) logits for one head — the MXU phase of the
+    softmax, split out so callers can software-pipeline it against the
+    previous head's VPU phase (see _attend_heads / HEAD_PIPELINE)."""
+    qs = q * jnp.asarray(1.0 / (head_dim ** 0.5), q.dtype)
+    logits = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (Q, S)
+    return jnp.minimum(logits, kbias)
+
+
+def _softmax_from_logits(logits):
+    """(exp-weights, rowsum) from masked logits — the VPU phase.
 
     The forward kernels are VPU-bound at long seq (r3 xplane: the blocked
     kernel was 27 ms of a 94 ms 30-s batch, ~12 VPU ops per (Q,S) logit
@@ -158,11 +169,6 @@ def _head_softmax_unnorm(q, k, kbias, head_dim):
     - normalization is deferred to the OUTPUT tile where safe: callers
       compute (p̃ @ V)/rowsum on (Q, Dh) instead of p̃/rowsum on (Q, S).
     Numerics: identical math reordered."""
-    qs = q * jnp.asarray(1.0 / (head_dim ** 0.5), q.dtype)
-    logits = jax.lax.dot_general(
-        qs, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (Q, S)
-    logits = jnp.minimum(logits, kbias)
     if SOFTMAX_MODE == "max":
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
@@ -173,14 +179,18 @@ def _head_softmax_unnorm(q, k, kbias, head_dim):
     return p, jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-37)
 
 
-def _head_attend(q, k, v, kbias, head_dim, blocked=False, defer=None):
-    """fp32 (Q, Dh) attention output for one head — the ONE place that
-    decides normalization placement and overflow handling (see the
+def _head_softmax_unnorm(q, k, kbias, head_dim):
+    return _softmax_from_logits(_head_logits(q, k, kbias, head_dim))
+
+
+def _attend_from_logits(logits, v, blocked=False, defer=None):
+    """fp32 (Q, Dh) attention output from masked logits — the ONE place
+    that decides normalization placement and overflow handling (see the
     DEFER_NORM / VSCALE notes above)."""
     if defer is None:
         defer = BLOCKED_DEFER_NORM if blocked else ONE_SHOT_DEFER_NORM
     defer = _defer_ok(defer, blocked)
-    p, rowsum = _head_softmax_unnorm(q, k, kbias, head_dim)
+    p, rowsum = _softmax_from_logits(logits)
     if not defer:
         p = p / rowsum
         return jnp.dot(p.astype(v.dtype), v,
@@ -196,20 +206,57 @@ def _head_attend(q, k, v, kbias, head_dim, blocked=False, defer=None):
     return o / rowsum
 
 
+def _head_attend(q, k, v, kbias, head_dim, blocked=False, defer=None):
+    return _attend_from_logits(_head_logits(q, k, kbias, head_dim), v,
+                               blocked=blocked, defer=defer)
+
+
 def _head_softmax(q, k, kbias, head_dim):
     """Normalized probabilities (backward recompute path)."""
     p, s = _head_softmax_unnorm(q, k, kbias, head_dim)
     return p / s
 
 
+# Software-pipelined head loop: issue head h+1's Q@K^T (an MXU op with no
+# dependency on head h's output) BEFORE head h's exp/sum/PV in program
+# order, so the in-order instruction stream always has independent MXU
+# work adjacent to the VPU softmax.  Costs one extra live (Q, S) fp32
+# logits tile of VMEM.  Measured NEUTRAL at 30 s / B=32 on v5e (379.9 vs
+# 381.1 clips/s, 4 interleaved trials, outputs bit-identical) — Mosaic's
+# scheduler evidently already extracts this overlap — so the simpler
+# in-order loop stays the default; the variant is kept for retuning on
+# other device generations.
+HEAD_PIPELINE = False
+
+
+def _attend_heads_loop(get_q, get_k, get_v, kbias, num_heads, head_dim,
+                       emit, blocked=False):
+    """Shared all-heads attention loop over accessor callables; emit(h, o)
+    consumes each head's fp32 (Q, Dh) output."""
+    if not HEAD_PIPELINE:
+        for h in range(num_heads):
+            emit(h, _head_attend(get_q(h), get_k(h), get_v(h), kbias,
+                                 head_dim, blocked=blocked))
+        return
+    logits = _head_logits(get_q(0), get_k(0), kbias, head_dim)
+    for h in range(num_heads):
+        nxt = (_head_logits(get_q(h + 1), get_k(h + 1), kbias, head_dim)
+               if h + 1 < num_heads else None)
+        emit(h, _attend_from_logits(logits, get_v(h), blocked=blocked))
+        logits = nxt
+
+
 def _attend_heads(xq, k_src, v_src, kbias, num_heads, head_dim, out_ref):
     """Shared all-heads attention loop: q from xq columns, k/v from the
     given sources, outputs written per head into out_ref's row block."""
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        o = _head_attend(xq[:, sl], k_src[:, sl], v_src[:, sl], kbias,
-                         head_dim)
-        out_ref[0, :, sl] = o.astype(out_ref.dtype)
+    def sl(h):
+        return slice(h * head_dim, (h + 1) * head_dim)
+
+    _attend_heads_loop(
+        lambda h: xq[:, sl(h)], lambda h: k_src[:, sl(h)],
+        lambda h: v_src[:, sl(h)], kbias, num_heads, head_dim,
+        lambda h, o: out_ref.__setitem__((0, slice(None), sl(h)),
+                                         o.astype(out_ref.dtype)))
 
 
 def _kernel(num_heads: int, head_dim: int, q_block: int,
@@ -236,12 +283,15 @@ def _kernel_blocked(num_heads: int, head_dim: int,
     ref slicing measured +15% end-to-end at 30 s, bit-identical (v5e r3)."""
     d = num_heads * head_dim
     kbias = _softmax_kbias(mask_ref[0] > 0)  # (1, S)
-    for h in range(num_heads):
-        q = q_ref[0, :, pl.ds(h * head_dim, head_dim)]
-        k = kv_ref[0, :, pl.ds(h * head_dim, head_dim)]
-        v = kv_ref[0, :, pl.ds(d + h * head_dim, head_dim)]
-        o = _head_attend(q, k, v, kbias, head_dim, blocked=True)
-        out_ref[0, :, pl.ds(h * head_dim, head_dim)] = o.astype(out_ref.dtype)
+    _attend_heads_loop(
+        lambda h: q_ref[0, :, pl.ds(h * head_dim, head_dim)],
+        lambda h: kv_ref[0, :, pl.ds(h * head_dim, head_dim)],
+        lambda h: kv_ref[0, :, pl.ds(d + h * head_dim, head_dim)],
+        kbias, num_heads, head_dim,
+        lambda h, o: out_ref.__setitem__(
+            (0, slice(None), pl.ds(h * head_dim, head_dim)),
+            o.astype(out_ref.dtype)),
+        blocked=True)
 
 
 def _pallas_forward(qkv, mask, num_heads, interpret):
@@ -394,23 +444,28 @@ FUSED_BLOCK_OPROJ = "concat"
 def _attend_oproj(xq, k_src, v_src, kbias, num_heads, head_dim, wo_ref,
                   dtype):
     """All-heads attention + o-projection → fp32 (S, D) accumulator."""
-    acc = None
-    outs = []
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        o = _head_attend(xq[:, sl], k_src[:, sl], v_src[:, sl], kbias,
-                         head_dim)
+    acc_outs = {"acc": None, "outs": []}
+
+    def sl(h):
+        return slice(h * head_dim, (h + 1) * head_dim)
+
+    def emit(h, o):
         if FUSED_BLOCK_OPROJ == "concat":
-            outs.append(o.astype(dtype))
+            acc_outs["outs"].append(o.astype(dtype))
         else:
             contrib = jnp.dot(o.astype(dtype),
                               wo_ref[pl.ds(h * head_dim, head_dim), :],
                               preferred_element_type=jnp.float32)  # (S, D)
-            acc = contrib if acc is None else acc + contrib
+            acc = acc_outs["acc"]
+            acc_outs["acc"] = contrib if acc is None else acc + contrib
+
+    _attend_heads_loop(
+        lambda h: xq[:, sl(h)], lambda h: k_src[:, sl(h)],
+        lambda h: v_src[:, sl(h)], kbias, num_heads, head_dim, emit)
     if FUSED_BLOCK_OPROJ == "concat":
-        acc = jnp.dot(jnp.concatenate(outs, axis=-1), wo_ref[:],
-                      preferred_element_type=jnp.float32)
-    return acc
+        return jnp.dot(jnp.concatenate(acc_outs["outs"], axis=-1), wo_ref[:],
+                       preferred_element_type=jnp.float32)
+    return acc_outs["acc"]
 
 
 def _ln_rows(v32, s_ref, b_ref, eps, out_dtype):
@@ -630,25 +685,30 @@ def _fused_block_kernel_blocked(num_heads: int, head_dim: int, eps: float,
 
     kbias = _softmax_kbias(mask_ref[0] > 0)
     q_rows = pl.ds(pl.multiple_of(j * q_block, 8), q_block)
-    acc = None
-    outs = []
-    for h in range(num_heads):
-        # head slices on the scratch REF (pl.ds): value slicing at 96-col
-        # offsets made Mosaic retile every matmul operand (+15% when fixed)
-        q = qkv_scratch[q_rows, pl.ds(h * head_dim, head_dim)]
-        k = qkv_scratch[:, pl.ds(d + h * head_dim, head_dim)]
-        v = qkv_scratch[:, pl.ds(2 * d + h * head_dim, head_dim)]
-        o = _head_attend(q, k, v, kbias, head_dim, blocked=True)
+    acc_outs = {"acc": None, "outs": []}
+
+    def emit(h, o):
         if FUSED_BLOCK_OPROJ == "concat":
-            outs.append(o.astype(out_ref.dtype))
+            acc_outs["outs"].append(o.astype(out_ref.dtype))
         else:
             contrib = jnp.dot(o.astype(out_ref.dtype),
                               wo_ref[pl.ds(h * head_dim, head_dim), :],
                               preferred_element_type=jnp.float32)
-            acc = contrib if acc is None else acc + contrib
+            acc = acc_outs["acc"]
+            acc_outs["acc"] = contrib if acc is None else acc + contrib
+
+    # head slices on the scratch REF (pl.ds): value slicing at 96-col
+    # offsets made Mosaic retile every matmul operand (+15% when fixed)
+    _attend_heads_loop(
+        lambda h: qkv_scratch[q_rows, pl.ds(h * head_dim, head_dim)],
+        lambda h: qkv_scratch[:, pl.ds(d + h * head_dim, head_dim)],
+        lambda h: qkv_scratch[:, pl.ds(2 * d + h * head_dim, head_dim)],
+        kbias, num_heads, head_dim, emit, blocked=True)
     if FUSED_BLOCK_OPROJ == "concat":
-        acc = jnp.dot(jnp.concatenate(outs, axis=-1), wo_ref[:],
+        acc = jnp.dot(jnp.concatenate(acc_outs["outs"], axis=-1), wo_ref[:],
                       preferred_element_type=jnp.float32)
+    else:
+        acc = acc_outs["acc"]
 
     y = acc + bo_ref[0] + x_row_ref[0, q_rows, :].astype(jnp.float32)
     yb = y.astype(out_ref.dtype)
