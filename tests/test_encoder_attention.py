@@ -473,3 +473,35 @@ def test_defer_norm_fully_masked_chunk_no_nan():
 
     out = ea.try_fused_layer(p, x, mask, h, 1e-6, jnp.float32)
     assert out is not None and np.isfinite(np.asarray(out)).all()
+
+
+def test_head_pipeline_variant_bit_identical():
+    """HEAD_PIPELINE reorders head matmul issue only — outputs must be
+    bit-identical to the in-order loop (one-shot AND blocked forms)."""
+    from cacophony_tpu.ops import encoder_attention as ea
+    from cacophony_tpu.ops.encoder_attention import encoder_attention_blocked
+
+    d, h, b, s = 32, 4, 2, 256
+    qkv = jax.random.normal(jax.random.PRNGKey(11), (b, s, 3 * d))
+    mask = jnp.ones((b, s), jnp.int32).at[1, 200:].set(0)
+    q, kv = qkv[:, :, :d], qkv[:, :, d:]
+
+    old_budget, old_pipe = ea.VMEM_BUDGET_BYTES, ea.HEAD_PIPELINE
+    try:
+        ea.HEAD_PIPELINE = False
+        base_one = np.asarray(encoder_attention(qkv, mask, h, True))
+        ea.VMEM_BUDGET_BYTES = 500_000  # force a blocked plan for s=256
+        base_blk = np.asarray(encoder_attention_blocked(q, kv, mask, h, True))
+        ea.VMEM_BUDGET_BYTES = old_budget
+
+        ea.HEAD_PIPELINE = True
+        jax.clear_caches()  # flag is read at trace time
+        pipe_one = np.asarray(encoder_attention(qkv, mask, h, True))
+        ea.VMEM_BUDGET_BYTES = 500_000
+        pipe_blk = np.asarray(encoder_attention_blocked(q, kv, mask, h, True))
+    finally:
+        ea.VMEM_BUDGET_BYTES, ea.HEAD_PIPELINE = old_budget, old_pipe
+        jax.clear_caches()
+
+    np.testing.assert_array_equal(pipe_one, base_one)
+    np.testing.assert_array_equal(pipe_blk, base_blk)
