@@ -296,6 +296,13 @@ def text_encoder_apply(
     )
     x = layer_norm(emb["ln"], x, cfg.layer_norm_eps)
     x = dropout(r(0), x, cfg.hidden_dropout, det)
+    # The embedding tables are fp32 params, so x is fp32 here; without this
+    # cast every post-LN residual (h + x) promotes the block output back to
+    # fp32 and the whole scan carry runs at double bandwidth (xplane r3:
+    # f32[B,S,768] carries through all 12 layers while the audio tower ran
+    # bf16 — the train step's text towers were ~2x their bf16 cost).
+    # LayerNorm keeps fp32 statistics internally either way (layers.py).
+    x = x.astype(dtype)
 
     if cache is None:
         if cfg.causal:

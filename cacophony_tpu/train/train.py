@@ -24,7 +24,8 @@ import optax
 
 from cacophony_tpu.configs import AudioMAEConfig, CacoConfig
 from cacophony_tpu.models.audio import audiomae_apply
-from cacophony_tpu.models.caco import caption_logits, get_audio_embedding, get_text_embedding
+from cacophony_tpu.models.caco import get_audio_embedding, get_text_embedding
+from cacophony_tpu.models.text import caption_decoder_apply
 from cacophony_tpu.train.losses import (
     caption_cross_entropy,
     clip_contrastive_loss,
@@ -40,7 +41,11 @@ class TrainConfig:
     total_steps: int = 100_000
     max_grad_norm: float = 1.0
     caption_loss_weight: float = 1.0
-    remat_encoder: bool = True
+    # Remat trades an extra audio-encoder forward (~12 ms of an 87 ms step
+    # at B=16/seq-500 on v5e) for activation memory; at the bench shapes the
+    # activations fit HBM comfortably, so it's OFF by default — enable for
+    # long-patch (30 s) or large-batch configs that would otherwise OOM.
+    remat_encoder: bool = False
 
 
 class TrainState(NamedTuple):
@@ -102,19 +107,27 @@ def make_caco_train_step(cfg: CacoConfig, tc: TrainConfig):
             params, batch["audio_patches"], batch["audio_time_inds"],
             batch["audio_freq_inds"], batch["audio_mask"], r_audio,
         )
-        t_emb, _ = get_text_embedding(
+        t_emb, t_hidden = get_text_embedding(
             params, cfg, batch["text_input_ids"], batch["text_mask"],
             normalize=True, train=True, rngs=r_text,
         )
         l_con = clip_contrastive_loss(a_emb, t_emb, params["logit_scale"])
 
-        # teacher forcing: predict token t+1 from prefix ≤ t
+        # teacher forcing: predict token t+1 from prefix ≤ t.  The caption
+        # branch REUSES the contrastive tower's hidden states: the text
+        # encoder is causal, so hidden[:, :S-1] over the full sequence is
+        # exactly the encoder output over ids[:, :-1] (position t never sees
+        # t+1) — running caption_logits' own 12-layer pass was a second
+        # full fwd+bwd of the text tower per step (xplane r3: ~14 ms of a
+        # 117 ms step at B=16).
         ids, tmask = batch["text_input_ids"], batch["text_mask"]
-        logits = caption_logits(
-            params, cfg, ids[:, :-1], tmask[:, :-1], a_hidden,
-            batch["audio_mask"], train=True, rngs=r_cap,
+        logits, _ = caption_decoder_apply(
+            params["decoder"], cfg.decoder, t_hidden[:, :-1], tmask[:, :-1],
+            a_hidden, batch["audio_mask"], train=True, rngs=r_cap,
+            dtype=cfg.dtype,
         )
-        l_cap = caption_cross_entropy(logits, ids[:, 1:], tmask[:, 1:])
+        l_cap = caption_cross_entropy(
+            logits.astype(jnp.float32), ids[:, 1:], tmask[:, 1:])
 
         loss = l_con + tc.caption_loss_weight * l_cap
         return loss, {"loss": loss, "contrastive": l_con, "caption": l_cap}
