@@ -113,6 +113,27 @@ def test_train_loss_decreases():
     assert losses[-1] < losses[0], losses
 
 
+def test_caption_hidden_reuse_matches_separate_pass():
+    """The train step feeds the caption decoder hidden[:, :-1] from the
+    contrastive tower's FULL-sequence pass (train.py).  That is only valid
+    because the text encoder is causal: position t never attends t+1, so
+    the sliced hiddens must equal an independent encoder pass over
+    ids[:, :-1] up to XLA reduction order (different sequence lengths tile
+    the matmul contractions differently; measured 3.6e-7 max abs)."""
+    from cacophony_tpu.models.text import text_encoder_apply
+
+    cfg = configs.caco_tiny()
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    batch = _tiny_batch(b=4)
+    ids, mask = batch["text_input_ids"], batch["text_mask"]
+    _, h_full, _ = text_encoder_apply(params["text"], cfg.text, ids, mask,
+                                      pool=False)
+    _, h_prefix, _ = text_encoder_apply(params["text"], cfg.text,
+                                        ids[:, :-1], mask[:, :-1], pool=False)
+    np.testing.assert_allclose(np.asarray(h_full[:, :-1]),
+                               np.asarray(h_prefix), atol=2e-6, rtol=2e-5)
+
+
 def test_gallery_sharded_scoring_matches_unsharded():
     """Retrieval's full-gallery sim matmul (exp(logit_scale)·A@T.T) sharded
     over the dp axis must equal the single-device result — the BASELINE
