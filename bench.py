@@ -62,7 +62,7 @@ BASELINE_FILE_LOCAL = os.path.join(_HERE, ".jax_cache", "bench_baseline.json")
 
 BATCH = 128  # bf16 sweep on v5e (r2 kernel): B=128→1421 clips/s, B=256→1335
 ITERS = 16
-DECODE_STREAMS = 64  # r2: 64 streams 15.8k tok/s vs 16 streams 10.3k
+DECODE_STREAMS = 256  # r3 sweep: 64→15.8k, 128→16.9k, 256→17.8k tok/s
 DECODE_LEN = 64
 
 # Pre-jitted sync primitives: one async dispatch + one scalar fetch each.
