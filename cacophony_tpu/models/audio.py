@@ -40,6 +40,18 @@ from cacophony_tpu.ops.attention import attention_init, multi_head_attention
 
 LN_EPS = 1e-6  # flax nn.LayerNorm default (reference audio tower uses it)
 
+# Train-time fused kernels: when dropout_rate == drop_path_rate == 0.0 (the
+# published configs' values) the train-mode block is mathematically the eval
+# block, so the inference Pallas fusions (whole-layer / block) are legal in
+# training too — their custom_vjp backward remats the layer in XLA.
+# MEASURED AND REJECTED as a default (r3, same-session interleaved, B=16
+# bf16 seq-500 stage-2 step): 100.2 vs 87.5 ms/step — the whole-layer
+# XLA-remat backward recomputes einsum attention AND takes grads through it,
+# losing more than the fused forward saves vs the one-shot kernel fwd +
+# flash-style Pallas backward kernel that training uses today.  Kept as a
+# flag for re-measurement on future hardware.
+FUSED_IN_TRAIN = False
+
 
 # ------------------------------------------------------------------ init
 
@@ -94,7 +106,9 @@ def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
     r = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
 
     h = None
-    if flash_mask is not None and det:
+    fusable = det or (FUSED_IN_TRAIN
+                      and dropout_rate == 0.0 and drop_path_rate == 0.0)
+    if flash_mask is not None and fusable:
         # inference fast path, widest fusion first: the ENTIRE layer
         # (LN1 + QKV + attention + o-proj + residual + LN2 + MLP) in one
         # Pallas kernel — the (S, intermediate) activation never touches

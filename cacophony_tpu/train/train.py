@@ -46,6 +46,13 @@ class TrainConfig:
     # activations fit HBM comfortably, so it's OFF by default — enable for
     # long-patch (30 s) or large-batch configs that would otherwise OOM.
     remat_encoder: bool = False
+    # Adam first-moment dtype: "bfloat16" halves the m-buffer's HBM traffic
+    # and residency (v, the second moment, stays fp32).  Measured r3
+    # (same-session interleaved, B=16 bf16 stage-2): 84.0 vs 86.2 ms/step
+    # (+2.6%), losses tracking within ~0.3% after 37 steps.  Default stays
+    # fp32 — the win is modest and bf16 m is a quality knob the user should
+    # opt into consciously (standard practice at larger scales).
+    adam_mu_dtype: str | None = None
 
 
 class TrainState(NamedTuple):
@@ -69,7 +76,8 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 
     return optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
-        optax.adamw(schedule, weight_decay=tc.weight_decay, mask=decay_mask),
+        optax.adamw(schedule, weight_decay=tc.weight_decay, mask=decay_mask,
+                    mu_dtype=tc.adam_mu_dtype),
     )
 
 

@@ -134,6 +134,53 @@ def test_caption_hidden_reuse_matches_separate_pass():
                                np.asarray(h_prefix), atol=2e-6, rtol=2e-5)
 
 
+def test_fused_in_train_matches_unfused():
+    """FUSED_IN_TRAIN routes training through the whole-layer Pallas kernel
+    (legal only because dropout == drop_path == 0): losses/grad norms must
+    match the unfused path to kernel-numerics tolerance.  The flag is OFF by
+    default (measured 13% slower on v5e — XLA-remat backward of the fused
+    layer loses to the one-shot Pallas fwd+bwd kernels), but it must stay
+    correct for re-measurement on future hardware."""
+    from cacophony_tpu.models import audio as audio_mod
+
+    cfg = configs.caco_tiny()
+    tc = TrainConfig(warmup_steps=1, total_steps=10)
+    batch = _tiny_batch(b=4)
+
+    def one_step(fused):
+        old = audio_mod.FUSED_IN_TRAIN
+        audio_mod.FUSED_IN_TRAIN = fused
+        try:
+            params = caco_init(jax.random.PRNGKey(0), cfg)
+            state = init_train_state(params, tc)
+            # fresh closure per variant: jit caches on function identity
+            step = make_caco_train_step(cfg, tc)
+            state, m = step(state, batch, jax.random.PRNGKey(1))
+        finally:
+            audio_mod.FUSED_IN_TRAIN = old
+        return {k: float(v) for k, v in m.items()}
+
+    base, fused = one_step(False), one_step(True)
+    for k in ["loss", "contrastive", "caption", "grad_norm"]:
+        np.testing.assert_allclose(fused[k], base[k], rtol=1e-4, err_msg=k)
+
+
+def test_adam_mu_bf16_state_dtype_and_finite_loss():
+    """adam_mu_dtype='bfloat16' must actually cast the first moment (HBM
+    traffic halves only if the buffer dtype changes) and keep training
+    stable."""
+    cfg = configs.caco_tiny()
+    tc = TrainConfig(warmup_steps=1, total_steps=10, adam_mu_dtype="bfloat16")
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, tc)
+    mus = [l.dtype for l in jax.tree_util.tree_leaves(state.opt_state)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 leaves in opt state — mu_dtype did not plumb"
+    step = make_caco_train_step(cfg, tc)
+    state, m = step(state, batch=_tiny_batch(b=4), rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_gallery_sharded_scoring_matches_unsharded():
     """Retrieval's full-gallery sim matmul (exp(logit_scale)·A@T.T) sharded
     over the dp axis must equal the single-device result — the BASELINE
