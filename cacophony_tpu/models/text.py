@@ -38,6 +38,11 @@ from cacophony_tpu.models.layers import (
 )
 from cacophony_tpu.ops.attention import attention_init, multi_head_attention
 
+# A/B escape hatch: True restores the r2 gather-based position/token-type
+# embedding lookups (whose training VJPs are scatter-adds).  The default
+# slice/broadcast forms are bit-identical in fwd and strictly cheaper in bwd.
+_AUX_EMBED_GATHER = False
+
 
 # ------------------------------------------------------------------ init
 
@@ -286,14 +291,25 @@ def text_encoder_apply(
     r = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
 
     ids = input_ids.astype(jnp.int32)
-    if position_ids is None:
-        position_ids = jnp.broadcast_to(jnp.arange(ids.shape[-1]), ids.shape)
     emb = params["embeddings"]
-    x = (
-        emb["word"][ids]
-        + emb["position"][position_ids.astype(jnp.int32)]
-        + emb["token_type"][jnp.zeros_like(ids)]
-    )
+    if (position_ids is None and not _AUX_EMBED_GATHER
+            and ids.shape[-1] <= emb["position"].shape[0]):
+        # Full-sequence mode always uses arange positions — take a SLICE of
+        # the table instead of a gather so the training VJP is a pad (free)
+        # rather than a (B·S)-update scatter-add into the 514-row table.
+        # (When S exceeds the table the gather path below keeps JAX's
+        # clamp-to-last-row semantics instead of a shape error.)
+        pos = emb["position"][: ids.shape[-1]][None, :, :]
+    else:
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(ids.shape[-1]), ids.shape)
+        pos = emb["position"][position_ids.astype(jnp.int32)]
+    # Token-type ids are 0 everywhere in this model family (reference passes
+    # zeros, src/caco/roberta.py) — broadcast row 0; the gather of an
+    # all-zero index tensor had a fully-colliding scatter-add as its VJP.
+    tt = (emb["token_type"][jnp.zeros_like(ids)] if _AUX_EMBED_GATHER
+          else emb["token_type"][0])
+    x = emb["word"][ids] + pos + tt
     x = layer_norm(emb["ln"], x, cfg.layer_norm_eps)
     x = dropout(r(0), x, cfg.hidden_dropout, det)
     # The embedding tables are fp32 params, so x is fp32 here; without this

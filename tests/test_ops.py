@@ -106,3 +106,40 @@ def test_bidirectional_text_tower_option():
         _, h2, _ = text_encoder_apply(p, cfg, ids2, mask)
         first_tok_changed = bool(np.abs(np.asarray(h1[0, 0] - h2[0, 0])).max() > 1e-6)
         assert first_tok_changed == (not causal), (causal, first_tok_changed)
+
+
+def test_aux_embedding_slice_matches_gather():
+    """The slice/broadcast position+token-type lookups (default) are
+    bit-identical in fwd to the r2 gather forms, and their grads agree —
+    the slice forms exist because the gathers' training VJPs are
+    scatter-adds (fully colliding for the all-zero token-type ids)."""
+    import cacophony_tpu.models.text as text_mod
+    from cacophony_tpu.configs import TextConfig
+    from cacophony_tpu.models.text import text_encoder_apply, text_encoder_init
+
+    cfg = TextConfig(vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+                     intermediate_size=32, max_position_embeddings=16)
+    p = text_encoder_init(jax.random.PRNGKey(3), cfg)
+    ids = jnp.asarray([[5, 6, 7, 8], [9, 1, 1, 1]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1], [1, 1, 0, 0]], jnp.int32)
+
+    def run(flag):
+        old = text_mod._AUX_EMBED_GATHER
+        text_mod._AUX_EMBED_GATHER = flag
+        try:
+            def loss(pp):
+                _, h, _ = text_encoder_apply(pp, cfg, ids, mask)
+                return (h.astype(jnp.float32) ** 2).mean()
+            _, h, _ = text_encoder_apply(p, cfg, ids, mask)
+            g = jax.grad(loss)(p)
+            return np.asarray(h), g
+        finally:
+            text_mod._AUX_EMBED_GATHER = old
+
+    h_gather, g_gather = run(True)
+    h_slice, g_slice = run(False)
+    np.testing.assert_array_equal(h_gather, h_slice)
+    for key in ("position", "token_type", "word"):
+        np.testing.assert_allclose(
+            np.asarray(g_gather["embeddings"][key]),
+            np.asarray(g_slice["embeddings"][key]), atol=1e-6, err_msg=key)
