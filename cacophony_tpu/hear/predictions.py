@@ -2,12 +2,15 @@
 
 Re-implements the reference's prediction phase
 (src/eval/heareval/predictions/task_predictions.py) without
-pytorch-lightning (not in this environment): shallow MLP probes trained on
-the memmapped embeddings with random grid search, early stopping on the
-task's primary score, k-fold re-training of the best config, and
-median-filter event extraction for event tasks.  Probe training is tiny
-host-side work by design (parity matters, not speed — SURVEY §7.5); the
-TPU stays on the embedding-extraction phase.
+pytorch-lightning: shallow MLP probes trained on the memmapped embeddings
+with random grid search, early stopping on the task's primary score,
+k-fold re-training of the best config, and median-filter event extraction
+for event tasks.  Probes are a tiny JAX MLP + hand-rolled torch-default
+Adam pinned to the HOST CPU backend (probe training is tiny host-side work
+by design — parity matters, not speed, SURVEY §7.5 — and must never queue
+behind the TPU's embedding-extraction programs).  torch is NOT a
+dependency of this module anymore; the architecture is cross-checked
+against a torch mirror in tests/test_hear.py when torch is available.
 
 Protocol constants follow the reference: PARAM_GRID (:57-94,
 hidden 1024, dropout 0.1, lr {3.2e-3,1e-3,3.2e-4,1e-4}, patience 20,
@@ -19,6 +22,7 @@ median filter + threshold 0.5 + min-duration (:615-683).
 from __future__ import annotations
 
 import csv
+import functools
 import itertools
 import json
 import logging
@@ -29,12 +33,23 @@ from collections import defaultdict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-import torch
 from scipy.ndimage import median_filter
+
+import jax
+import jax.numpy as jnp
 
 from cacophony_tpu.hear import score as score_lib
 
 logger = logging.getLogger("cacophony_tpu.hear")
+
+
+def _host_device():
+    """The host CPU device, or None when only an accelerator backend exists
+    (then jax.default_device is skipped and the default backend is used)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
 
 PARAM_GRID = {
     "hidden_layers": [1, 2],
@@ -58,43 +73,162 @@ EVENT_POSTPROCESSING_GRID = {
 }
 
 
-class MLPProbe(torch.nn.Module):
-    """Linear → BatchNorm → Dropout → ReLU blocks → Linear head
-    (reference FullyConnectedPrediction, task_predictions.py:140-192)."""
+# ------------------------------------------------------------- probe model
+#
+# Functional MLP probe matching the reference FullyConnectedPrediction
+# (task_predictions.py:140-192): [Linear → BatchNorm1d → Dropout → ReLU]^L
+# → Linear head, xavier-uniform weights, torch-default uniform biases,
+# BCE-with-logits (multilabel) / softmax CE (multiclass), Adam.
+# All jitted entry points are MODULE-LEVEL (per-instance closures retrace —
+# CLAUDE.md); pytree structure keys the cache on hidden_layers.
+
+_BN_EPS = 1e-5      # torch.nn.BatchNorm1d defaults
+_BN_MOMENTUM = 0.1
+
+
+def _xavier_uniform(rng, fan_in, fan_out):
+    bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(rng, (fan_in, fan_out), jnp.float32,
+                              -bound, bound)
+
+
+def _linear_init(rng, fan_in, fan_out):
+    kw, kb = jax.random.split(rng)
+    # weight: xavier (reference overrides torch's default); bias keeps the
+    # torch.nn.Linear default U(-1/√fan_in, 1/√fan_in)
+    bb = float(1.0 / np.sqrt(fan_in))
+    return {"w": _xavier_uniform(kw, fan_in, fan_out),
+            "b": jax.random.uniform(kb, (fan_out,), jnp.float32, -bb, bb)}
+
+
+def _probe_init(rng, nfeatures, nlabels, conf):
+    hidden, bn = [], []
+    dim = nfeatures
+    for _ in range(conf["hidden_layers"]):
+        rng, sub = jax.random.split(rng)
+        lyr = _linear_init(sub, dim, conf["hidden_dim"])
+        lyr["scale"] = jnp.ones((conf["hidden_dim"],), jnp.float32)
+        lyr["bias"] = jnp.zeros((conf["hidden_dim"],), jnp.float32)
+        hidden.append(lyr)
+        bn.append({"mean": jnp.zeros((conf["hidden_dim"],), jnp.float32),
+                   "var": jnp.ones((conf["hidden_dim"],), jnp.float32)})
+        dim = conf["hidden_dim"]
+    rng, sub = jax.random.split(rng)
+    return {"hidden": hidden, "head": _linear_init(sub, dim, nlabels)}, bn
+
+
+def _probe_forward(params, bn_state, x, *, dropout, train, rng):
+    """→ (logits, updated bn running stats).  Train mode normalizes by the
+    biased batch variance and tracks the unbiased one, per torch BN1d."""
+    new_bn = []
+    for lyr, bn in zip(params["hidden"], bn_state):
+        x = x @ lyr["w"] + lyr["b"]
+        if train:
+            mean = x.mean(axis=0)
+            var = ((x - mean) ** 2).mean(axis=0)
+            n = x.shape[0]
+            new_bn.append({
+                "mean": (1 - _BN_MOMENTUM) * bn["mean"] + _BN_MOMENTUM * mean,
+                "var": (1 - _BN_MOMENTUM) * bn["var"]
+                       + _BN_MOMENTUM * var * (n / max(n - 1, 1)),
+            })
+        else:
+            mean, var = bn["mean"], bn["var"]
+            new_bn.append(bn)
+        x = (x - mean) / jnp.sqrt(var + _BN_EPS) * lyr["scale"] + lyr["bias"]
+        if train and dropout > 0.0:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)
+            x = jnp.where(keep, x / (1.0 - dropout), 0.0)
+        x = jax.nn.relu(x)
+    return x @ params["head"]["w"] + params["head"]["b"], new_bn
+
+
+def _probe_loss(params, bn_state, x, y, rng, dropout, multilabel):
+    logits, new_bn = _probe_forward(params, bn_state, x,
+                                    dropout=dropout, train=True, rng=rng)
+    if multilabel:
+        p = jax.nn.log_sigmoid(logits)
+        q = jax.nn.log_sigmoid(-logits)   # log(1 - sigmoid) stably
+        loss = -(y * p + (1.0 - y) * q).mean()
+    else:
+        tgt = jnp.argmax(y, axis=1)
+        loss = -jnp.take_along_axis(jax.nn.log_softmax(logits), tgt[:, None],
+                                    axis=1).mean()
+    return loss, new_bn
+
+
+def _adam_step(g, opt, lr, b1=0.9, b2=0.999, eps=1e-8):
+    """torch.optim.Adam defaults, hand-rolled so lr stays a traced scalar
+    (an optax.adam(lr) instance per grid point would key a fresh jit cache
+    entry on function identity every call)."""
+    m = jax.tree_util.tree_map(lambda m_, g_: b1 * m_ + (1 - b1) * g_,
+                               opt["m"], g)
+    v = jax.tree_util.tree_map(lambda v_, g_: b2 * v_ + (1 - b2) * g_ * g_,
+                               opt["v"], g)
+    count = opt["count"] + 1
+    c1 = 1 - b1 ** count.astype(jnp.float32)
+    c2 = 1 - b2 ** count.astype(jnp.float32)
+    upd = jax.tree_util.tree_map(
+        lambda m_, v_: -lr * (m_ / c1) / (jnp.sqrt(v_ / c2) + eps), m, v)
+    return upd, {"m": m, "v": v, "count": count}
+
+
+# No donation: the early-stopping snapshot keeps live references to the
+# best epoch's param buffers, which donation would invalidate.
+@functools.partial(jax.jit, static_argnames=("dropout", "multilabel"))
+def _probe_train_batch(params, bn_state, opt, x, y, rng, lr,
+                       dropout, multilabel):
+    grads, new_bn = jax.grad(_probe_loss, has_aux=True)(
+        params, bn_state, x, y, rng, dropout, multilabel)
+    upd, opt = _adam_step(grads, opt, lr)
+    params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+    return params, new_bn, opt
+
+
+@functools.partial(jax.jit, static_argnames=("multilabel",))
+def _probe_probs(params, bn_state, x, multilabel):
+    logits, _ = _probe_forward(params, bn_state, x,
+                               dropout=0.0, train=False, rng=None)
+    return jax.nn.sigmoid(logits) if multilabel else jax.nn.softmax(logits, -1)
+
+
+class MLPProbe:
+    """Trained-probe handle: params + BN running stats + prediction type.
+    (The torch-module version this replaces is kept as a test-only mirror
+    in tests/test_hear.py for architecture cross-checking.)"""
 
     def __init__(self, nfeatures: int, nlabels: int, prediction_type: str,
-                 conf: Dict[str, Any]):
-        super().__init__()
-        layers: List[torch.nn.Module] = []
-        dim = nfeatures
-        for _ in range(conf["hidden_layers"]):
-            lin = torch.nn.Linear(dim, conf["hidden_dim"])
-            torch.nn.init.xavier_uniform_(lin.weight)
-            layers += [lin, torch.nn.BatchNorm1d(conf["hidden_dim"]),
-                       torch.nn.Dropout(conf["dropout"]), torch.nn.ReLU()]
-            dim = conf["hidden_dim"]
-        self.hidden = torch.nn.Sequential(*layers)
-        self.head = torch.nn.Linear(dim, nlabels)
-        torch.nn.init.xavier_uniform_(self.head.weight)
+                 conf: Dict[str, Any], seed: int = 42):
         self.prediction_type = prediction_type
-        if prediction_type == "multilabel":
-            self.loss_fn = torch.nn.BCEWithLogitsLoss()
-        else:
-            self.loss_fn = torch.nn.CrossEntropyLoss()
+        self.conf = conf
+        self.params, self.bn_state = _probe_init(
+            jax.random.PRNGKey(seed), nfeatures, nlabels, conf)
+        self.opt = {
+            "m": jax.tree_util.tree_map(jnp.zeros_like, self.params),
+            "v": jax.tree_util.tree_map(jnp.zeros_like, self.params),
+            "count": jnp.zeros((), jnp.int32),
+        }
 
-    def forward(self, x):
-        return self.head(self.hidden(x))
+    @property
+    def multilabel(self) -> bool:
+        return self.prediction_type == "multilabel"
 
-    def loss(self, logits, y):
-        if self.prediction_type == "multilabel":
-            return self.loss_fn(logits, y)
-        return self.loss_fn(logits, y.argmax(dim=1))
+    def train_batch(self, x, y, rng, lr):
+        self.params, self.bn_state, self.opt = _probe_train_batch(
+            self.params, self.bn_state, self.opt, x, y, rng,
+            jnp.float32(lr), self.conf["dropout"], self.multilabel)
 
-    def probabilities(self, x):
-        logits = self(x)
-        if self.prediction_type == "multilabel":
-            return torch.sigmoid(logits)
-        return torch.softmax(logits, dim=-1)
+    def probabilities(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(_probe_probs(
+            self.params, self.bn_state,
+            jnp.asarray(np.array(x, np.float32, copy=True)), self.multilabel))
+
+    def snapshot(self):
+        return self.params, self.bn_state
+
+    def restore(self, snap):
+        self.params, self.bn_state = snap
 
 
 def _load_split(embed_dir: str, split: str, label_to_idx: Dict[str, int],
@@ -172,57 +306,54 @@ def train_probe(x_train, y_train, x_valid, y_valid, metadata, conf,
 
     Returns (model at its best epoch, best raw score, best postprocessing
     or None for scene tasks)."""
-    torch.manual_seed(seed)
-    model = MLPProbe(x_train.shape[1], y_train.shape[1],
-                     metadata["prediction_type"], conf)
-    opt = torch.optim.Adam(model.parameters(), lr=conf["lr"])
     # copy=True: splits may be read-only memmaps
-    xt = torch.from_numpy(np.array(x_train, np.float32, copy=True))
-    yt = torch.from_numpy(np.array(y_train, np.float32, copy=True))
-    xv = torch.from_numpy(np.array(x_valid, np.float32, copy=True))
+    xt = np.array(x_train, np.float32, copy=True)
+    yt = np.array(y_train, np.float32, copy=True)
+    xv = np.array(x_valid, np.float32, copy=True)
 
     sign = _primary_sign(metadata)
     is_event = metadata["embedding_type"] == "event"
-    best_signed, best_raw, best_state, best_post, since_best = (
-        -np.inf, float("nan"), None, None, 0)
     bs = conf["batch_size"]
-    for epoch in range(conf["max_epochs"]):
-        model.train()
-        perm = torch.randperm(len(xt))
-        for i in range(0, len(xt), bs):
-            idx = perm[i:i + bs]
-            if len(idx) < 2:  # BatchNorm needs >1 sample
-                continue
-            opt.zero_grad()
-            loss = model.loss(model(xt[idx]), yt[idx])
-            loss.backward()
-            opt.step()
+    perm_rng = np.random.RandomState(seed)
+    drop_key = jax.random.PRNGKey(seed + 1)
 
-        if (epoch + 1) % conf["check_val_every_n_epoch"]:
-            continue
-        model.eval()
-        with torch.no_grad():
-            probs = model.probabilities(xv).numpy()
-        post = None
-        if is_event:
-            val, post = _select_event_postprocess(
-                probs, metadata, event_ctx["target_events"],
-                event_ctx["fname_ts"], event_ctx["idx_to_label"],
-                strict_reference_bugs=strict_reference_bugs)
-        else:
-            name = metadata["evaluation"][0]
-            val = score_lib.SCENE_SCORES[name](probs, y_valid)
-        if sign * val > best_signed:
-            best_signed, best_raw, best_post, since_best = (
-                sign * val, val, post, 0)
-            best_state = {k: v.clone() for k, v in model.state_dict().items()}
-        else:
-            since_best += 1
-            if since_best >= conf["patience"]:
-                break
-    if best_state is not None:
-        model.load_state_dict(best_state)
-    model.eval()
+    with jax.default_device(_host_device()):
+        model = MLPProbe(xt.shape[1], yt.shape[1],
+                         metadata["prediction_type"], conf, seed=seed)
+        best_signed, best_raw, best_state, best_post, since_best = (
+            -np.inf, float("nan"), None, None, 0)
+        for epoch in range(conf["max_epochs"]):
+            perm = perm_rng.permutation(len(xt))
+            for i in range(0, len(xt), bs):
+                idx = perm[i:i + bs]
+                if len(idx) < 2:  # BatchNorm needs >1 sample
+                    continue
+                drop_key, sub = jax.random.split(drop_key)
+                model.train_batch(jnp.asarray(xt[idx]), jnp.asarray(yt[idx]),
+                                  sub, conf["lr"])
+
+            if (epoch + 1) % conf["check_val_every_n_epoch"]:
+                continue
+            probs = model.probabilities(xv)
+            post = None
+            if is_event:
+                val, post = _select_event_postprocess(
+                    probs, metadata, event_ctx["target_events"],
+                    event_ctx["fname_ts"], event_ctx["idx_to_label"],
+                    strict_reference_bugs=strict_reference_bugs)
+            else:
+                name = metadata["evaluation"][0]
+                val = score_lib.SCENE_SCORES[name](probs, y_valid)
+            if sign * val > best_signed:
+                best_signed, best_raw, best_post, since_best = (
+                    sign * val, val, post, 0)
+                best_state = model.snapshot()
+            else:
+                since_best += 1
+                if since_best >= conf["patience"]:
+                    break
+        if best_state is not None:
+            model.restore(best_state)
     return model, float(best_raw), best_post
 
 
@@ -307,9 +438,8 @@ def _concat_splits(parts):
 
 
 def _probs(model, x):
-    with torch.no_grad():
-        return model.probabilities(torch.from_numpy(
-            np.array(x, np.float32, copy=True))).numpy()
+    with jax.default_device(_host_device()):
+        return model.probabilities(x)
 
 
 def _load_fname_ts(embed_dir, split):

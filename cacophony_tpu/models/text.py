@@ -41,6 +41,12 @@ from cacophony_tpu.ops.attention import attention_init, multi_head_attention
 # A/B escape hatch: True restores the r2 gather-based position/token-type
 # embedding lookups (whose training VJPs are scatter-adds).  The default
 # slice/broadcast forms are bit-identical in fwd and strictly cheaper in bwd.
+#
+# NOTE (jit caching): this is read at TRACE time.  Flipping it after
+# text_encoder_apply has been jitted silently reuses the cached trace and the
+# "variant" measures the default path.  A/B runs must build a fresh jitted
+# closure per flag value or call jax.clear_caches() after flipping (the same
+# jit-identity footgun CLAUDE.md documents for monkeypatch ablations).
 _AUX_EMBED_GATHER = False
 
 
@@ -299,7 +305,9 @@ def text_encoder_apply(
         # rather than a (B·S)-update scatter-add into the 514-row table.
         # (When S exceeds the table the gather path below keeps JAX's
         # clamp-to-last-row semantics instead of a shape error.)
-        pos = emb["position"][: ids.shape[-1]][None, :, :]
+        # (S, H): trailing-dim broadcasting against word[ids] keeps this path
+        # rank-agnostic (1D ids stay (S, H), matching the gather path below).
+        pos = emb["position"][: ids.shape[-1]]
     else:
         if position_ids is None:
             position_ids = jnp.broadcast_to(jnp.arange(ids.shape[-1]), ids.shape)

@@ -18,6 +18,7 @@ from cacophony_tpu.configs import (
     CacoConfig,
     FrontendConfig,
     PatchConfig,
+    TextConfig,
 )
 
 # Peak dense matmul throughput per chip, bf16, FLOP/s.  Keyed by substrings
@@ -78,6 +79,68 @@ def pooler_matmul_flops(cfg: CacoConfig, seq: int) -> int:
         + 2 * seq * h          # weights @ V
         + 2 * h * proj         # output Dense
     )
+
+
+def text_matmul_flops(cfg: TextConfig, seq: int, memory_seq: int = 0) -> int:
+    """Text-tower matmul FLOPs for one sequence of length `seq`.
+
+    memory_seq > 0 adds the cross-attention sub-block each layer carries in
+    decoder configs (q proj + per-layer memory K/V proj + two S×S_mem
+    attention matmuls + o proj)."""
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    per_layer = (
+        2 * seq * h * (3 * h)      # self-attn QKV
+        + 2 * seq * seq * h        # Q @ K^T
+        + 2 * seq * seq * h        # attn @ V
+        + 2 * seq * h * h          # o proj
+        + 2 * seq * h * ffn        # MLP up
+        + 2 * seq * ffn * h        # MLP down
+    )
+    if memory_seq:
+        per_layer += (
+            2 * seq * h * h                 # cross q proj
+            + 2 * memory_seq * h * (2 * h)  # cross K/V proj
+            + 2 * seq * memory_seq * h      # q @ K_mem^T
+            + 2 * seq * memory_seq * h      # attn @ V_mem
+            + 2 * seq * h * h               # cross o proj
+        )
+    return cfg.num_layers * per_layer
+
+
+def text_pooler_matmul_flops(cfg: CacoConfig, seq: int) -> int:
+    h = cfg.text.hidden_size
+    proj = cfg.projection_size or h
+    return 2 * seq * h * (2 * h) + 2 * seq * h + 2 * seq * h + 2 * h * proj
+
+
+def caco_train_step_matmul_flops(
+    cfg: CacoConfig, audio_seq: int, text_seq: int, remat_encoder: bool = False
+) -> int:
+    """Counted matmul FLOPs for ONE sample through the stage-2 train step
+    (fwd + bwd; optimizer elementwise work and the B×B contrastive logits
+    are excluded by MFU convention).
+
+    Backward of a matmul is two matmuls (dX and dW / the two attention
+    VJPs), so train = 3× forward; remat adds one more encoder forward.
+    The caption branch reuses the contrastive text tower's hiddens
+    (train/train.py loss_fn), so the text encoder is counted ONCE.
+    """
+    audio_fwd = (
+        encoder_matmul_flops(cfg.audio, audio_seq)
+        + pooler_matmul_flops(cfg, audio_seq)
+    )
+    text_fwd = text_matmul_flops(cfg.text, text_seq) + text_pooler_matmul_flops(
+        cfg, text_seq
+    )
+    dec_seq = text_seq - 1  # teacher forcing drops the last position
+    dec_fwd = (
+        text_matmul_flops(cfg.decoder, dec_seq, memory_seq=audio_seq)
+        + 2 * dec_seq * cfg.decoder.hidden_size * cfg.decoder.vocab_size
+    )
+    total = 3 * (audio_fwd + text_fwd + dec_fwd)
+    if remat_encoder:
+        total += encoder_matmul_flops(cfg.audio, audio_seq)
+    return total
 
 
 def pipeline_matmul_flops(

@@ -484,3 +484,97 @@ def test_bipartite_matching_matches_scipy_on_random_graphs():
     n = 1500
     adj = [list(range(n))] * n
     assert _max_bipartite_matching(adj) == n
+
+
+def test_probe_matches_torch_mirror():
+    """The JAX probe's architecture, BN semantics, losses, and one Adam step
+    are cross-checked against a torch mirror of the reference
+    FullyConnectedPrediction (task_predictions.py:140-192).  Guards the
+    torch→JAX probe rewrite; skipped where torch is absent."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from cacophony_tpu.hear import predictions as P
+
+    conf = {"hidden_layers": 2, "hidden_dim": 16, "dropout": 0.0,
+            "batch_size": 8, "lr": 1e-3}
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 12).astype(np.float32)
+    y = np.zeros((8, 5), np.float32)
+    y[np.arange(8), rng.randint(0, 5, 8)] = 1.0
+
+    for ptype in ("multiclass", "multilabel"):
+        model = P.MLPProbe(12, 5, ptype, conf, seed=0)
+
+        # torch mirror with the JAX probe's weights copied in
+        layers = []
+        dim = 12
+        tl = []
+        for lyr in model.params["hidden"]:
+            lin = torch.nn.Linear(dim, conf["hidden_dim"])
+            bn = torch.nn.BatchNorm1d(conf["hidden_dim"])
+            with torch.no_grad():
+                lin.weight.copy_(torch.from_numpy(np.asarray(lyr["w"]).T))
+                lin.bias.copy_(torch.from_numpy(np.asarray(lyr["b"])))
+                bn.weight.copy_(torch.from_numpy(np.asarray(lyr["scale"])))
+                bn.bias.copy_(torch.from_numpy(np.asarray(lyr["bias"])))
+            layers += [lin, bn, torch.nn.Dropout(0.0), torch.nn.ReLU()]
+            tl.append((lin, bn))
+            dim = conf["hidden_dim"]
+        head = torch.nn.Linear(dim, 5)
+        with torch.no_grad():
+            head.weight.copy_(torch.from_numpy(np.asarray(model.params["head"]["w"]).T))
+            head.bias.copy_(torch.from_numpy(np.asarray(model.params["head"]["b"])))
+        net = torch.nn.Sequential(*layers, head)
+
+        # eval-mode probabilities agree at init (fresh running stats)
+        net.eval()
+        with torch.no_grad():
+            tlogits = net(torch.from_numpy(x))
+            tprobs = (torch.sigmoid(tlogits) if ptype == "multilabel"
+                      else torch.softmax(tlogits, -1)).numpy()
+        np.testing.assert_allclose(model.probabilities(x), tprobs,
+                                   rtol=1e-5, atol=1e-6)
+
+        # one identical Adam step (dropout 0): params + BN stats track
+        net.train()
+        opt = torch.optim.Adam(net.parameters(), lr=conf["lr"])
+        tloss_fn = (torch.nn.BCEWithLogitsLoss() if ptype == "multilabel"
+                    else torch.nn.CrossEntropyLoss())
+        ty = (torch.from_numpy(y) if ptype == "multilabel"
+              else torch.from_numpy(y).argmax(dim=1))
+        opt.zero_grad()
+        tloss_fn(net(torch.from_numpy(x)), ty).backward()
+        opt.step()
+
+        model.train_batch(jnp.asarray(x), jnp.asarray(y),
+                          jax.random.PRNGKey(0), conf["lr"])
+
+        for i, (lin, bn) in enumerate(tl):
+            lyr = model.params["hidden"][i]
+            np.testing.assert_allclose(np.asarray(lyr["w"]),
+                                       lin.weight.detach().numpy().T,
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(model.bn_state[i]["mean"]),
+                                       bn.running_mean.numpy(),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(model.bn_state[i]["var"]),
+                                       bn.running_var.numpy(),
+                                       rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(model.params["head"]["w"]),
+                                   head.weight.detach().numpy().T,
+                                   rtol=1e-4, atol=1e-5)
+
+        # post-step eval probabilities agree to Adam-noise tolerance: the
+        # pre-BN linear bias has a mathematically-zero gradient (BN subtracts
+        # the batch mean), and Adam amplifies the fp32 rounding residue of
+        # that zero to an O(lr) step — torch's analytic BN backward rounds
+        # to exact zero, JAX's leaves ~1e-8, so the biases drift apart by
+        # ~lr after one step (harmless: BN running stats track the shift).
+        net.eval()
+        with torch.no_grad():
+            tlogits = net(torch.from_numpy(x))
+            tprobs = (torch.sigmoid(tlogits) if ptype == "multilabel"
+                      else torch.softmax(tlogits, -1)).numpy()
+        np.testing.assert_allclose(model.probabilities(x), tprobs,
+                                   rtol=5e-3, atol=5e-4)

@@ -5,9 +5,9 @@ The reference scores event tasks with sed_eval
 is a from-scratch rewrite.  Two independent checks:
 
 1. `test_sed_eval_bit_exact_*`: diff against the REAL sed_eval package,
-   bit-for-bit on randomized event sets.  sed_eval is not installable in
-   this environment (no network) so these skip today, but they arm
-   automatically wherever it exists.
+   bit-for-bit on randomized event sets — or, where that package is
+   absent, against the from-spec shim described below (so they always
+   run; the genuine package arms automatically wherever it exists).
 
 2. `test_brute_force_*`: diff against a second, independently structured
    implementation written directly from the sed_eval definitions
@@ -19,6 +19,14 @@ is a from-scratch rewrite.  Two independent checks:
    Randomized event sets cover zero-length events, exact-boundary onsets,
    dense same-label overlaps, files present only in targets, and empty
    prediction files.
+
+Where the genuine sed_eval/dcase_util packages are absent (no network
+here), check 1 arms against cacophony_tpu/third_party/sed_eval_shim — a
+third, from-the-paper implementation behind the exact sed_eval API
+(per-segment label sets + Hopcroft-Karp matching; the production scorer
+uses dense rolls + Kuhn augmenting paths) — so the bit-exact tests run a
+three-way differential instead of skipping.  The genuine packages take
+precedence automatically when installed.
 """
 
 import itertools
@@ -32,10 +40,14 @@ from cacophony_tpu.hear import score as score_lib
 
 try:
     import sed_eval  # noqa: F401
-    import dcase_util  # noqa: F401
-    HAVE_SED_EVAL = True
+    from dcase_util.containers import MetaDataContainer
+    SED_IMPL = "sed_eval"
 except ImportError:
-    HAVE_SED_EVAL = False
+    from cacophony_tpu.third_party import sed_eval_shim as sed_eval
+    from cacophony_tpu.third_party.sed_eval_shim.containers import (
+        MetaDataContainer,
+    )
+    SED_IMPL = "sed_eval_shim"
 
 
 # ------------------------------------------------------ brute-force scorers
@@ -223,11 +235,9 @@ def test_matching_is_optimal_not_greedy():
     assert bf_event_f1(preds, targs, 200.0, False) == pytest.approx(1.0)
 
 
-# ------------------------------------------------- real sed_eval (optional)
+# --------------------- real sed_eval, or the from-spec shim where absent
 
 def _sed_container(events_by_file):
-    from dcase_util.containers import MetaDataContainer
-
     rows = []
     for fname, evs in events_by_file.items():
         for e in evs:
@@ -238,10 +248,7 @@ def _sed_container(events_by_file):
     return MetaDataContainer(rows)
 
 
-@pytest.mark.skipif(not HAVE_SED_EVAL, reason="sed_eval not installed")
 def test_sed_eval_bit_exact_segment():
-    import sed_eval
-
     rng = random.Random(1)
     for trial in range(TRIALS):
         preds, targs = random_event_sets(rng, dense=(trial % 3 == 0))
@@ -257,7 +264,6 @@ def test_sed_eval_bit_exact_segment():
         assert ours["f_measure"] == overall["f_measure"]["f_measure"], trial
 
 
-@pytest.mark.skipif(not HAVE_SED_EVAL, reason="sed_eval not installed")
 @pytest.mark.parametrize("params,ours_fn", [
     ({"evaluate_onset": True, "evaluate_offset": False, "t_collar": 0.2},
      lambda p, t: score_lib.onset_only_event_based_f1(p, t, 200.0)),
@@ -268,8 +274,6 @@ def test_sed_eval_bit_exact_segment():
      lambda p, t: score_lib.event_based_f1(p, t, 50.0, 0.2)),
 ])
 def test_sed_eval_bit_exact_event(params, ours_fn):
-    import sed_eval
-
     rng = random.Random(2)
     for trial in range(TRIALS):
         preds, targs = random_event_sets(rng, max_events=4,
