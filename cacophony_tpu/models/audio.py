@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from cacophony_tpu.configs import AudioDecoderConfig, AudioEncoderConfig
 from cacophony_tpu.models.layers import (
@@ -51,6 +52,34 @@ LN_EPS = 1e-6  # flax nn.LayerNorm default (reference audio tower uses it)
 # flash-style Pallas backward kernel that training uses today.  Kept as a
 # flag for re-measurement on future hardware.
 FUSED_IN_TRAIN = False
+
+# Selective rematerialization policy for the TRAIN-mode block (trace-time;
+# None = save everything, JAX default).  The fwd scan otherwise saves, per
+# step at B=16/seq-500, two bf16[12,16,500,3072] MLP intermediates (2.3 GB),
+# the QKV projections (850 MB) and fp32 LN normalized values (~600 MB) —
+# pure HBM write+read traffic on a bandwidth-bound backward.
+#   "dots":     jax.checkpoint policy dots_saveable — keep matmul outputs,
+#               recompute elementwise chains (silu, LN normalize) in bwd.
+#   "mlp_wide": additionally drop BOTH (S, intermediate) MLP tensors
+#               (recomputes the w1 matmul in bwd; biggest traffic cut).
+# Measured r4 (alternating fresh processes, B=16 bf16 seq-500 stage-2 step,
+# 3×10-iter trials each; co-resident variants inflate ALL steps ~12% via
+# HBM pressure, so interleave across processes, not closures):
+#   none 86.0/86.4 · dots 84.7/85.9 · mlp_wide 98.0 ms.
+# mlp_wide REJECTED: wrapping the block in jax.checkpoint makes the
+# attention custom_vjp re-run its forward kernel in bwd, costing far more
+# than the 2.3 GB save-traffic cut.  dots ~1 ms ahead but within relay
+# drift — default stays None (save everything); knob kept for re-measure.
+BLOCK_REMAT_POLICY: Optional[str] = None
+
+
+def _block_remat_policy():
+    if BLOCK_REMAT_POLICY == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    if BLOCK_REMAT_POLICY == "mlp_wide":
+        return jax.checkpoint_policies.save_anything_except_these_names(
+            "mlp_wide")
+    return None
 
 
 # ------------------------------------------------------------------ init
@@ -149,7 +178,9 @@ def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
 
     h = layer_norm(p["ln2"], x, LN_EPS)
     h = dense(p["mlp"]["w1"], h, dtype)
+    h = checkpoint_name(h, "mlp_wide")
     h = jax.nn.silu(h)
+    h = checkpoint_name(h, "mlp_wide")
     h = dropout(r(2), h, dropout_rate, det)
     h = dense(p["mlp"]["w2"], h, dtype)
     h = dropout(r(3), h, dropout_rate, det)
@@ -159,15 +190,24 @@ def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
 
 def _run_blocks(blocks, x, bias, *, num_heads, dropout_rate, drop_path_rate,
                 dtype, train, rngs, flash_mask=None):
+    block = _vit_block
+    policy = _block_remat_policy() if train else None
+    if policy is not None:
+        def block(p, x, bias, **kw):
+            fn = lambda p_, x_, b_, r_: _vit_block(  # noqa: E731
+                p_, x_, b_, rngs=r_,
+                **{k: v for k, v in kw.items() if k != "rngs"})
+            return jax.checkpoint(fn, policy=policy)(p, x, bias, kw.get("rngs"))
+
     def body(carry, xs):
         x = carry
         if rngs is not None:
             p, layer_rng = xs
         else:
             p, layer_rng = xs, None
-        x = _vit_block(p, x, bias, num_heads=num_heads, dropout_rate=dropout_rate,
-                       drop_path_rate=drop_path_rate, dtype=dtype, train=train,
-                       rngs=layer_rng, flash_mask=flash_mask)
+        x = block(p, x, bias, num_heads=num_heads, dropout_rate=dropout_rate,
+                  drop_path_rate=drop_path_rate, dtype=dtype, train=train,
+                  rngs=layer_rng, flash_mask=flash_mask)
         return x, None
 
     num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]

@@ -49,6 +49,21 @@ from cacophony_tpu.ops.attention import attention_init, multi_head_attention
 # jit-identity footgun CLAUDE.md documents for monkeypatch ablations).
 _AUX_EMBED_GATHER = False
 
+# Full-mode (non-cached) self-attention through the bespoke one-shot VMEM
+# kernel with in-kernel causal masking (ops/encoder_attention.py) instead
+# of the XLA einsum chain over a (B, 1, S, S) additive bias.  Trace-time
+# flag (same jit-caching caveat as above).
+# Measured r4 on 1x v5e (interleaved fresh-jit trials, steady state):
+#   B=128 T=100 bf16 full mode: einsum 5366/5384 vs kernel 5286/5398
+#     texts/s (wash, cosine 0.99999249)
+#   B=64 T=16 (ZS prompt shape):  einsum 11143/12073 vs kernel
+#     11759/12127 texts/s (+3% noisy, cosine 0.99997777)
+# Below the ≥+5% keep bar at both shapes (Dh=64/T≤100 einsum attention is
+# already a tiny slice of the tower; the MLP matmuls dominate) → default
+# OFF.  The causal kernel path + its Pallas backward stay tested for
+# future shapes.
+TEXT_ATTN_KERNEL = False
+
 
 # ------------------------------------------------------------------ init
 
@@ -133,7 +148,7 @@ def _post_ln_residual(ln_p, h, residual, eps, rng, rate, det):
 def _text_block(
     p, x, cfg: TextConfig, bias, *, memory=None, memory_bias=None,
     kv_cache=None, cache_index=None, cross_kv=None, train=False, rngs=None,
-    dtype=jnp.float32,
+    dtype=jnp.float32, flash_mask=None, causal=False,
 ):
     det = not train
     r = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
@@ -142,6 +157,7 @@ def _text_block(
     h, kv_slice = multi_head_attention(
         p["attn"], x, num_heads=cfg.num_heads, bias=bias,
         kv_cache=kv_cache, cache_index=cache_index, dtype=dtype,
+        flash_mask=flash_mask, causal=causal,
         dropout_rate=0.0 if det else cfg.attention_dropout,
         dropout_rng=r(3),
     )
@@ -178,7 +194,7 @@ def _text_block(
 
 def _run_text_blocks(blocks, x, cfg, bias, *, memory=None, memory_bias=None,
                      cache=None, cross_kv=None, train=False, rngs=None,
-                     dtype=jnp.float32):
+                     dtype=jnp.float32, flash_mask=None, causal=False):
     """lax.scan over stacked layer params (+ per-layer cache/cross-kv).
 
     Decode mode: the per-layer cache is read-only inside the scan; layers
@@ -197,6 +213,7 @@ def _run_text_blocks(blocks, x, cfg, bias, *, memory=None, memory_bias=None,
             p, x, cfg, bias, memory=memory, memory_bias=memory_bias,
             kv_cache=layer_cache, cache_index=cache["index"] if cache is not None else None,
             cross_kv=layer_cross, train=train, rngs=layer_rng, dtype=dtype,
+            flash_mask=flash_mask, causal=causal,
         )
         return x, kv_slice
 
@@ -328,8 +345,14 @@ def text_encoder_apply(
     # LayerNorm keeps fp32 statistics internally either way (layers.py).
     x = x.astype(dtype)
 
+    bias, flash_mask, causal = None, None, False
     if cache is None:
-        if cfg.causal:
+        if TEXT_ATTN_KERNEL:
+            # bespoke kernel path: padding mask + (optional) in-kernel
+            # causal triangle; falls back to the einsum path with an
+            # equivalent reconstructed bias wherever the kernel declines
+            flash_mask, causal = attention_mask, cfg.causal
+        elif cfg.causal:
             bias = _causal_bias(attention_mask)
         else:
             # optional bidirectional tower (TextConfig.causal=False):
@@ -341,6 +364,7 @@ def text_encoder_apply(
 
     x, new_cache = _run_text_blocks(params["blocks"], x, cfg, bias, cache=cache,
                                     train=train, dtype=dtype,
+                                    flash_mask=flash_mask, causal=causal,
                                     rngs=r(1) if rngs is not None else None)
     pooled = (text_pooler_apply(params["pooler"], x, attention_mask, dtype=dtype)
               if pool else None)
@@ -381,8 +405,12 @@ def caption_decoder_apply(
     dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, Optional[dict]]:
     """→ (vocab logits (B, S, V), new_cache). Reference :606-627."""
+    bias, flash_mask, causal = None, None, False
     if cache is None:
-        bias = _causal_bias(attention_mask)
+        if TEXT_ATTN_KERNEL:
+            flash_mask, causal = attention_mask, True
+        else:
+            bias = _causal_bias(attention_mask)
     else:
         bias = _decode_bias(cache["k"].shape[2], cache["index"])
     memory_bias = mask_to_bias(audio_mask)[:, None, None, :]
@@ -392,5 +420,6 @@ def caption_decoder_apply(
         memory=audio_hidden if cross_kv is None else None,
         memory_bias=memory_bias, cache=cache, cross_kv=cross_kv,
         train=train, rngs=rngs, dtype=dtype,
+        flash_mask=flash_mask, causal=causal,
     )
     return dense(params["vocab_proj"], x, dtype), new_cache

@@ -74,6 +74,7 @@ def multi_head_attention(
     cache_index: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
     flash_mask: Optional[jnp.ndarray] = None,  # (B, S): use flash kernel
+    causal: bool = False,                       # with flash_mask: j ≤ i masking
     dropout_rate: float = 0.0,                  # attention-prob dropout (train)
     dropout_rng: Optional[jax.Array] = None,
 ):
@@ -114,9 +115,9 @@ def multi_head_attention(
                       and not (inside_shard_map and interp))
         if use_kernel and plan[0] == "one_shot":
             qkv = dense(params["qkv"], x, dtype)
-            out = encoder_attention(qkv, flash_mask, num_heads, interp)
+            out = encoder_attention(qkv, flash_mask, num_heads, interp, causal)
             return dense(params["o"], out, dtype), None
-        if use_kernel and plan[0] == "blocked":
+        if use_kernel and plan[0] == "blocked" and not causal:
             # long-seq plan wants SEPARATE Q and K|V operands (the fused
             # block double-buffered busts VMEM): split the fused weight —
             # same FLOPs, two matmuls, no activation copies
@@ -170,8 +171,11 @@ def multi_head_attention(
     # the "fused" primitive is slightly slower here and numerically looser.
     if bias is None and flash_mask is not None:
         # kernel path declined (e.g. attention dropout in training):
-        # reconstruct the key-side additive bias from the mask
-        bias = jnp.where(flash_mask[:, None, None, :] > 0, 0.0, -1e30)
+        # reconstruct the additive bias from the mask (+ causal triangle)
+        allowed = flash_mask[:, None, None, :] > 0
+        if causal:
+            allowed = allowed & jnp.tril(jnp.ones((s, s), jnp.bool_))
+        bias = jnp.where(allowed, 0.0, -1e30)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)

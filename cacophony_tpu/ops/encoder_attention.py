@@ -146,6 +146,21 @@ def _softmax_kbias(kmask_row):
     return jnp.where(kmask_row, jnp.float32(valid), jnp.float32(NEG_INF))
 
 
+def _softmax_kbias_causal(kmask_row, q_len: int, s: int):
+    """(Q, S) bias: key padding AND the causal triangle AND the clamp
+    ceiling merged into ONE tensor built once per kernel body — each head
+    still pays a single `minimum(logits, kbias)` (broadcasting handles the
+    (1, S) vs (Q, S) shapes transparently in _head_logits).
+
+    Causality is position i attends j ≤ i; built with 2D iotas (TPU needs
+    ≥2D iota).  One-shot kernels only (q_len == s, no q-block offset)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (q_len, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (q_len, s), 1)
+    allowed = (cols <= rows) & (kmask_row > 0)
+    valid = SOFTMAX_CLAMP if SOFTMAX_MODE == "clamp" else -NEG_INF
+    return jnp.where(allowed, jnp.float32(valid), jnp.float32(NEG_INF))
+
+
 def _head_logits(q, k, kbias, head_dim):
     """Masked fp32 (Q, S) logits for one head — the MXU phase of the
     softmax, split out so callers can software-pipeline it against the
@@ -259,15 +274,20 @@ def _attend_heads(xq, k_src, v_src, kbias, num_heads, head_dim, out_ref):
                                          o.astype(out_ref.dtype)))
 
 
-def _kernel(num_heads: int, head_dim: int, q_block: int,
+def _kernel(num_heads: int, head_dim: int, q_block: int, causal: bool,
             qkv_ref, mask_ref, out_ref):
     d = num_heads * head_dim
     x = qkv_ref[0]  # (S, 3·H·Dh) — full row, resident across q-blocks
+    s = x.shape[0]
     qb = pl.program_id(1)
     # slice the q rows from the REF (Mosaic lowers pl.ds on refs, not
     # dynamic_slice on values)
     xq = qkv_ref[0, pl.ds(pl.multiple_of(qb * q_block, 8), q_block), :]
-    kbias = _softmax_kbias(mask_ref[0] > 0)  # (1, S) mask+clamp merged
+    if causal:
+        # (S, S) mask+causal+clamp merged (one-shot: q_block == s)
+        kbias = _softmax_kbias_causal(mask_ref[0], s, s)
+    else:
+        kbias = _softmax_kbias(mask_ref[0] > 0)  # (1, S) mask+clamp merged
     _attend_heads(xq, x[:, d:2 * d], x[:, 2 * d:], kbias,
                   num_heads, head_dim, out_ref)
 
@@ -294,7 +314,7 @@ def _kernel_blocked(num_heads: int, head_dim: int,
         blocked=True)
 
 
-def _pallas_forward(qkv, mask, num_heads, interpret):
+def _pallas_forward(qkv, mask, num_heads, interpret, causal=False):
     """One-shot kernel over the fused-QKV block (plan must be one_shot)."""
     b, s, three_d = qkv.shape
     d = three_d // 3
@@ -309,7 +329,7 @@ def _pallas_forward(qkv, mask, num_heads, interpret):
     out_shape = (jax.ShapeDtypeStruct((b, s, d), qkv.dtype, vma=vma)
                  if vma else jax.ShapeDtypeStruct((b, s, d), qkv.dtype))
 
-    kern = functools.partial(_kernel, num_heads, head_dim, s)
+    kern = functools.partial(_kernel, num_heads, head_dim, s, causal)
     return pl.pallas_call(
         kern,
         grid=(b, 1),
@@ -1077,7 +1097,7 @@ def try_fused_ln_attention(ln_p, attn_p, x, mask, num_heads, eps, dtype):
                               mask, num_heads, eps, interp)
 
 
-def _bwd_kernel(num_heads: int, head_dim: int,
+def _bwd_kernel(num_heads: int, head_dim: int, causal: bool,
                 qkv_ref, mask_ref, g_ref, dqkv_ref):
     """One-shot attention backward per batch row, all heads in VMEM.
 
@@ -1089,7 +1109,12 @@ def _bwd_kernel(num_heads: int, head_dim: int,
     x = qkv_ref[0]    # (S, 3·H·Dh)
     g = g_ref[0]      # (S, H·Dh)
     kmask = mask_ref[0] > 0  # (1, S)
-    kbias = _softmax_kbias(kmask)
+    if causal:
+        # masked entries have p == 0 so their ds is already 0; the merged
+        # (S, S) kbias only shapes the P recompute
+        kbias = _softmax_kbias_causal(mask_ref[0], x.shape[0], x.shape[0])
+    else:
+        kbias = _softmax_kbias(kmask)
     scale = 1.0 / (head_dim ** 0.5)
 
     for h in range(num_heads):
@@ -1119,13 +1144,13 @@ def _bwd_kernel(num_heads: int, head_dim: int,
             dv.astype(dt)
 
 
-def _pallas_backward(qkv, mask, g, num_heads, interpret):
+def _pallas_backward(qkv, mask, g, num_heads, interpret, causal=False):
     """d_qkv for the one-shot forward (same VMEM-capacity regime)."""
     b, s, three_d = qkv.shape
     d = three_d // 3
     head_dim = d // num_heads
 
-    kern = functools.partial(_bwd_kernel, num_heads, head_dim)
+    kern = functools.partial(_bwd_kernel, num_heads, head_dim, causal)
     return pl.pallas_call(
         kern,
         grid=(b, 1),
@@ -1154,7 +1179,7 @@ def bwd_fits_vmem(seq: int, d_model: int, dtype) -> bool:
         <= VMEM_BUDGET_BYTES
 
 
-def _xla_attention(qkv, mask, num_heads):
+def _xla_attention(qkv, mask, num_heads, causal=False):
     """Same math as the kernel, in XLA ops — used only to derive the
     backward pass (flash-style rematerialization: no residual activations
     are saved; the backward recomputes attention and differentiates it)."""
@@ -1167,35 +1192,44 @@ def _xla_attention(qkv, mask, num_heads):
     v = v.reshape(b, s, num_heads, head_dim)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
-    logits = jnp.where(mask[:, None, None, :] > 0, logits, NEG_INF)
+    allowed = mask[:, None, None, :] > 0
+    if causal:
+        allowed = allowed & jnp.tril(jnp.ones((s, s), jnp.bool_))
+    logits = jnp.where(allowed, logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, s, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def encoder_attention(
     qkv: jnp.ndarray,    # (B, S, 3·H·Dh) fused projection output
     mask: jnp.ndarray,   # (B, S) 1 = valid key
     num_heads: int,
     interpret: bool = False,
+    causal: bool = False,
 ) -> jnp.ndarray:
-    """→ attention output (B, S, H·Dh), heads concatenated (pre out-proj)."""
-    return _pallas_forward(qkv, mask, num_heads, interpret)
+    """→ attention output (B, S, H·Dh), heads concatenated (pre out-proj).
+
+    causal=True masks keys j > i on top of the padding mask (the text
+    towers' self-attention, reference roberta_text_model.py:210-218) —
+    one-shot plans only."""
+    return _pallas_forward(qkv, mask, num_heads, interpret, causal)
 
 
-def _fwd(qkv, mask, num_heads, interpret):
-    return _pallas_forward(qkv, mask, num_heads, interpret), (qkv, mask)
+def _fwd(qkv, mask, num_heads, interpret, causal):
+    return _pallas_forward(qkv, mask, num_heads, interpret, causal), (qkv, mask)
 
 
-def _bwd(num_heads, interpret, residuals, g):
+def _bwd(num_heads, interpret, causal, residuals, g):
     import numpy as np
 
     qkv, mask = residuals
     b, s, three_d = qkv.shape
     if bwd_fits_vmem(s, three_d // 3, qkv.dtype):
-        d_qkv = _pallas_backward(qkv, mask, g, num_heads, interpret)
+        d_qkv = _pallas_backward(qkv, mask, g, num_heads, interpret, causal)
     else:
-        _, vjp = jax.vjp(lambda x: _xla_attention(x, mask, num_heads), qkv)
+        _, vjp = jax.vjp(
+            lambda x: _xla_attention(x, mask, num_heads, causal), qkv)
         (d_qkv,) = vjp(g.astype(qkv.dtype))
     if jnp.issubdtype(mask.dtype, jnp.integer):
         d_mask = np.zeros(mask.shape, jax.dtypes.float0)
