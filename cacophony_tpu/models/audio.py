@@ -26,6 +26,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from cacophony_tpu.configs import AudioDecoderConfig, AudioEncoderConfig
 from cacophony_tpu.models.layers import (
+    act_dense,
     dense,
     dense_init,
     drop_path,
@@ -178,11 +179,16 @@ def _vit_block(p, x, bias, *, num_heads, dropout_rate, drop_path_rate, dtype,
 
     h = layer_norm(p["ln2"], x, LN_EPS)
     h = dense(p["mlp"]["w1"], h, dtype)
-    h = checkpoint_name(h, "mlp_wide")
-    h = jax.nn.silu(h)
-    h = checkpoint_name(h, "mlp_wide")
-    h = dropout(r(2), h, dropout_rate, det)
-    h = dense(p["mlp"]["w2"], h, dtype)
+    if (det or dropout_rate == 0.0) and BLOCK_REMAT_POLICY != "mlp_wide":
+        # no dropout between act and w2 → backward-lean fused tail (saves
+        # only the pre-activation; recomputes silu + its VJP in bwd)
+        h = act_dense(p["mlp"]["w2"], h, jax.nn.silu, dtype)
+    else:
+        h = checkpoint_name(h, "mlp_wide")
+        h = jax.nn.silu(h)
+        h = checkpoint_name(h, "mlp_wide")
+        h = dropout(r(2), h, dropout_rate, det)
+        h = dense(p["mlp"]["w2"], h, dtype)
     h = dropout(r(3), h, dropout_rate, det)
     x = x + drop_path(r(4), h, drop_path_rate, det)
     return x

@@ -10,6 +10,7 @@ leaf), and keeps the checkpoint converter a pure tree-to-tree map.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional
 
 import jax
@@ -66,18 +67,106 @@ def dense(p, x, dtype=None):
     return x @ w + b
 
 
+# Trade saved-activation HBM traffic for recompute in training backwards.
+# With plain AD, each fp32 LayerNorm under a scanned block stashes ~3 fp32
+# (B, S, H) intermediates per call (centered x, x̂, rsqrt broadcast) — at
+# B=16/seq-500 that is ~1.8 GB written per stage-2 step and re-read in the
+# backward (xplane r4: the two triple-f32[12,16,500,768] save fusions were
+# 2.5 ms/step of an 87 ms step, plus the matching backward reads).  The
+# custom VJPs below save only the layer INPUT plus (…,1) statistics and
+# recompute the elementwise chain in the backward — exact formulas, same
+# fp32 statistics; forward ops are unchanged so inference is unaffected.
+# Trace-time flag (A/B only; flip needs a fresh process — jit caches traces).
+CUSTOM_VJP = True
+
+
+def _ln_fwd_math(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    y = (x32 - mean) * r
+    return (y * scale + bias).astype(x.dtype), mean, r
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ln(x, scale, bias, eps):
+    return _ln_fwd_math(x, scale, bias, eps)[0]
+
+
+def _ln_fwd(x, scale, bias, eps):
+    out, mean, r = _ln_fwd_math(x, scale, bias, eps)
+    return out, (x, scale, mean, r)
+
+
+def _ln_bwd(eps, res, g):
+    x, scale, mean, r = res
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    xhat = (x32 - mean) * r            # recomputed, never saved
+    lead = tuple(range(g32.ndim - 1))
+    dscale = jnp.sum(g32 * xhat, axis=lead)
+    dbias = jnp.sum(g32, axis=lead)
+    dy = g32 * scale
+    dx = r * (dy - jnp.mean(dy, axis=-1, keepdims=True)
+              - xhat * jnp.mean(dy * xhat, axis=-1, keepdims=True))
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+_ln.defvjp(_ln_fwd, _ln_bwd)
+
+
 def layer_norm(p, x, eps: float):
     """LayerNorm in fp32 (statistics are precision-sensitive).
 
     Measured on v5e (same-session interleaved A/B): a bf16-throughout LN is
     NOT faster than this — XLA fuses the dtype conversions — so the strict
-    fp32-statistics form is kept for both fp32 and bf16 compute.
+    fp32-statistics form is kept for both fp32 and bf16 compute.  The
+    backward is a custom VJP (exact formula, fp32) that recomputes x̂ from
+    the saved input instead of stashing fp32 intermediates — see CUSTOM_VJP.
     """
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+    if CUSTOM_VJP:
+        return _ln(x, p["scale"], p["bias"], eps)
+    return _ln_fwd_math(x, p["scale"], p["bias"], eps)[0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _act_dense(p, h, dtype, act):
+    return dense(p, act(h), dtype)
+
+
+def _act_dense_fwd(p, h, dtype, act):
+    return dense(p, act(h), dtype), (p, h)
+
+
+def _act_dense_bwd(dtype, act, res, g):
+    p, h = res
+    dt = dtype if dtype is not None else jnp.result_type(h.dtype, p["w"].dtype)
+    # recompute the activation AND its VJP (cheap VPU work) instead of
+    # saving act's internals + output for the matmul backward
+    a, act_vjp = jax.vjp(act, h)
+    a2 = a.reshape(-1, a.shape[-1]).astype(dt)
+    g2 = g.reshape(-1, g.shape[-1]).astype(dt)
+    dw = (a2.T @ g2).astype(p["w"].dtype)
+    db = jnp.sum(g2, axis=0).astype(p["b"].dtype)
+    da = (g.astype(dt) @ p["w"].astype(dt).T).astype(a.dtype)
+    (dh,) = act_vjp(da)
+    return {"w": dw, "b": db}, dh
+
+
+_act_dense.defvjp(_act_dense_fwd, _act_dense_bwd)
+
+
+def act_dense(p, h, act, dtype=None):
+    """`dense(p, act(h))` whose backward saves only the pre-activation `h`:
+    the activation (and its VJP) is recomputed in the backward, so neither
+    act's internals nor its output — the matmul-backward operand — are
+    written to HBM by the forward.  Exact same forward ops; use for the
+    MLP tail (w1 → act → w2) when no dropout sits between act and w2."""
+    if not CUSTOM_VJP:
+        return dense(p, act(h), dtype)
+    return _act_dense(p, h, dtype, act)
 
 
 def gelu_exact(x):

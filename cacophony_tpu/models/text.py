@@ -27,10 +27,12 @@ import jax.numpy as jnp
 
 from cacophony_tpu.configs import TextConfig
 from cacophony_tpu.models.layers import (
+    act_dense,
     dense,
     dense_init,
     dropout,
     embed_init,
+    gelu_exact,
     layer_norm,
     ln_init,
     mask_to_bias,
@@ -186,8 +188,9 @@ def _text_block(
         x = _post_ln_residual(p["ln_cross"], h, x, eps, r(1), cfg.hidden_dropout, det)
 
     h = dense(p["mlp_in"], x, dtype)
-    h = jax.nn.gelu(h, approximate=False)
-    h = dense(p["mlp_out"], h, dtype)
+    # backward-lean fused tail: saves only the pre-activation, recomputes
+    # gelu + its VJP in the backward (see layers.act_dense)
+    h = act_dense(p["mlp_out"], h, gelu_exact, dtype)
     x = _post_ln_residual(p["ln_mlp"], h, x, eps, r(2), cfg.hidden_dropout, det)
     return x, kv_slice
 

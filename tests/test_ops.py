@@ -143,3 +143,51 @@ def test_aux_embedding_slice_matches_gather():
         np.testing.assert_allclose(
             np.asarray(g_gather["embeddings"][key]),
             np.asarray(g_slice["embeddings"][key]), atol=1e-6, err_msg=key)
+
+
+def test_custom_vjp_layer_norm_and_act_dense_match_plain_ad():
+    """layers.layer_norm / layers.act_dense carry custom VJPs that recompute
+    elementwise chains in the backward instead of saving fp32 intermediates
+    (r4 train-step HBM-traffic cut).  Their grads must match plain AD of the
+    same forward math to fp32 rounding."""
+    import cacophony_tpu.models.layers as L
+
+    rng = np.random.RandomState(0)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.randn(4, 37, 64), dtype)
+        p = {"scale": jnp.asarray(rng.rand(64) + 0.5, jnp.float32),
+             "bias": jnp.asarray(rng.randn(64), jnp.float32)}
+
+        def loss_new(p, x):
+            return jnp.sum(jnp.sin(L.layer_norm(p, x, 1e-6)).astype(jnp.float32))
+
+        def loss_plain(p, x):
+            return jnp.sum(jnp.sin(
+                L._ln_fwd_math(x, p["scale"], p["bias"], 1e-6)[0]
+            ).astype(jnp.float32))
+
+        gn = jax.grad(loss_new, argnums=(0, 1))(p, x)
+        gp = jax.grad(loss_plain, argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree_util.tree_leaves(gn),
+                        jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=2e-6, atol=2e-6)
+
+        w = {"w": jnp.asarray(rng.randn(64, 32) * 0.1, jnp.float32),
+             "b": jnp.asarray(rng.randn(32) * 0.1, jnp.float32)}
+        h = jnp.asarray(rng.randn(4, 37, 64), dtype)
+        for act in (jax.nn.silu, L.gelu_exact):
+            def f_new(w, h):
+                return jnp.sum(L.act_dense(w, h, act, dtype).astype(jnp.float32))
+
+            def f_plain(w, h):
+                return jnp.sum(L.dense(w, act(h), dtype).astype(jnp.float32))
+
+            gn = jax.grad(f_new, argnums=(0, 1))(w, h)
+            gp = jax.grad(f_plain, argnums=(0, 1))(w, h)
+            for a, b in zip(jax.tree_util.tree_leaves(gn),
+                            jax.tree_util.tree_leaves(gp)):
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(b, np.float32),
+                    rtol=2e-6, atol=2e-6)
