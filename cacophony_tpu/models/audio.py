@@ -73,6 +73,15 @@ FUSED_IN_TRAIN = False
 # drift — default stays None (save everything); knob kept for re-measure.
 BLOCK_REMAT_POLICY: Optional[str] = None
 
+# lax.scan unroll factor for the block stack (trace-time; A/B knob —
+# unroll>1 trades compile time/code size for fewer loop iterations and
+# cross-layer scheduling freedom).  MEASURED AND REJECTED as a default
+# (r4, fresh-process interleaved, B=16 bf16 stage-2 step): unroll=2
+# 94.8-95.4 ms vs unroll=1 79.8-81.9 — doubling the loop body doubles
+# live save-buffer ranges and defeats the memory-space-assignment
+# prefetching; keep 1.
+SCAN_UNROLL = 1
+
 
 def _block_remat_policy():
     if BLOCK_REMAT_POLICY == "dots":
@@ -218,7 +227,7 @@ def _run_blocks(blocks, x, bias, *, num_heads, dropout_rate, drop_path_rate,
 
     num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
     xs = (blocks, jax.random.split(rngs, num_layers)) if rngs is not None else blocks
-    x, _ = jax.lax.scan(body, x, xs)
+    x, _ = jax.lax.scan(body, x, xs, unroll=SCAN_UNROLL)
     return x
 
 

@@ -51,6 +51,10 @@ from cacophony_tpu.ops.attention import attention_init, multi_head_attention
 # jit-identity footgun CLAUDE.md documents for monkeypatch ablations).
 _AUX_EMBED_GATHER = False
 
+# lax.scan unroll factor for the layer stack (trace-time A/B knob; see
+# models/audio.py SCAN_UNROLL).
+SCAN_UNROLL = 1
+
 # Full-mode (non-cached) self-attention through the bespoke one-shot VMEM
 # kernel with in-kernel causal masking (ops/encoder_attention.py) instead
 # of the XLA einsum chain over a (B, 1, S, S) additive bias.  Trace-time
@@ -236,7 +240,7 @@ def _run_text_blocks(blocks, x, cfg, bias, *, memory=None, memory_bias=None,
             full[slot] = v
         return body(carry, full)
 
-    x, kv_slices = jax.lax.scan(body_packed, x, packed)
+    x, kv_slices = jax.lax.scan(body_packed, x, packed, unroll=SCAN_UNROLL)
     new_cache = None
     if cache is not None:
         idx = cache["index"]

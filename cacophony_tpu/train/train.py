@@ -49,7 +49,9 @@ class TrainConfig:
     # Adam first-moment dtype: "bfloat16" halves the m-buffer's HBM traffic
     # and residency (v, the second moment, stays fp32).  Measured r3
     # (same-session interleaved, B=16 bf16 stage-2): 84.0 vs 86.2 ms/step
-    # (+2.6%), losses tracking within ~0.3% after 37 steps.  Default stays
+    # (+2.6%), losses tracking within ~0.3% after 37 steps.  Re-measured r4
+    # on top of the backward-lean custom VJPs: 78.1-79.8 vs 79.8-81.9 ms
+    # (-2.3 ms), losses tracking to 0.3% after 31 steps.  Default stays
     # fp32 — the win is modest and bf16 m is a quality knob the user should
     # opt into consciously (standard practice at larger scales).
     adam_mu_dtype: str | None = None
