@@ -150,6 +150,25 @@ def multi_head_attention(
         # size in HBM traffic per step and decode scaled O(B·T); measured
         # 15.8 ms/step at B=64 on v5e.)
         q = q * (1.0 / jnp.sqrt(head_dim).astype(q.dtype))
+        if bias is not None:
+            from cacophony_tpu.ops.decode_attention import (
+                DECODE_KERNEL, decode_kbias, single_query_attention)
+            t = kv_cache["k"].shape[1]
+            if DECODE_KERNEL and s == 1 and jax.default_backend() == "tpu":
+                # Bespoke single-query kernel: streams the cached K/V at
+                # full 768-lane rows instead of XLA's per-head GEMV
+                # fusions (r4 xplane: those ran at ~1/3 of HBM bandwidth
+                # and were ~70% of the decode step at 256 streams).
+                out = single_query_attention(
+                    q.reshape(b, d),
+                    kv_cache["k"].astype(q.dtype).reshape(b, t, d),
+                    kv_cache["v"].astype(q.dtype).reshape(b, t, d),
+                    decode_kbias(bias, b, t),
+                    k.reshape(b, d), v.reshape(b, d),
+                    num_heads=num_heads)
+                if out is not None:
+                    return (dense(params["o"], out.reshape(b, 1, d), dtype),
+                            {"k": k, "v": v})
         ck = kv_cache["k"].astype(q.dtype)
         cv = kv_cache["v"].astype(q.dtype)
         logits_past = jnp.einsum("bqhd,bkhd->bhqk", q, ck)
