@@ -55,6 +55,33 @@ class TrainConfig:
     # fp32 — the win is modest and bf16 m is a quality knob the user should
     # opt into consciously (standard practice at larger scales).
     adam_mu_dtype: str | None = None
+    # In-step PRNG implementation for dropout masks.  "rbg" rewraps the
+    # incoming key so bulk bit generation runs on XLA's hardware-backed
+    # RngBitGenerator (threefry then only hashes the 4-word key in
+    # split/fold_in) — the text/decoder towers draw ~100M Bernoulli bits per
+    # step (every attention-probs and hidden dropout mask), and threefry
+    # evaluates a >30-op hash per 32-bit word on the VPU.  Masks remain exact
+    # seeded Bernoulli(rate); only the (arbitrary) random stream differs, as
+    # it would under a different seed.  "threefry" restores the JAX-default
+    # stream.  Measured r4 (fresh-process interleaved A/Bs, B=16 bf16
+    # stage-2): see CLAUDE.md.
+    rng_impl: str = "threefry"
+
+
+def _rewrap_rng(rng, impl: str):
+    """Rewrap a PRNG key under a different generator implementation.
+
+    Accepts both typed keys and raw (2,) uint32 PRNGKey arrays.  For "rbg"
+    the 2-word threefry key data is tiled to the 4-word rbg key shape —
+    deterministic in the caller's seed.
+    """
+    if impl == "threefry":
+        return rng
+    kd = (jax.random.key_data(rng)
+          if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else rng)
+    if impl == "rbg":
+        kd = jnp.concatenate([kd, kd])
+    return jax.random.wrap_key_data(kd, impl=impl)
 
 
 class TrainState(NamedTuple):
@@ -105,6 +132,7 @@ def make_caco_train_step(cfg: CacoConfig, tc: TrainConfig):
     opt = make_optimizer(tc)
 
     def loss_fn(params, batch, rng):
+        rng = _rewrap_rng(rng, tc.rng_impl)
         r_audio, r_text, r_cap = jax.random.split(rng, 3)
 
         def audio_fwd(p, patches, ti, fi, mask, r):
@@ -195,6 +223,7 @@ def make_mae_train_step(cfg: AudioMAEConfig, tc: TrainConfig):
     opt = make_optimizer(tc)
 
     def loss_fn(params, batch, rng):
+        rng = _rewrap_rng(rng, tc.rng_impl)
         r_mask, r_model = jax.random.split(rng)
         m = mae_random_masking(r_mask, batch, cfg.mask_ratio)
         pred = audiomae_apply(
