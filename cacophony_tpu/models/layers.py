@@ -79,6 +79,11 @@ def dense(p, x, dtype=None):
 # Trace-time flag (A/B only; flip needs a fresh process — jit caches traces).
 CUSTOM_VJP = True
 
+# Recompute dropout/drop-path keep masks in the backward from the PRNG key
+# (exact same bits) instead of saving them across the scan boundary.
+# Independent of CUSTOM_VJP so train A/Bs can isolate it.
+DROPOUT_RECOMPUTE = True
+
 
 def _ln_fwd_math(x, scale, bias, eps):
     x32 = x.astype(jnp.float32)
@@ -174,21 +179,41 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
-def dropout(rng, x, rate: float, deterministic: bool):
-    if deterministic or rate == 0.0:
-        return x
+def _dropout_math(rng, x, rate: float):
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-def drop_path(rng, x, rate: float, deterministic: bool):
-    """Stochastic depth: drop whole residual branches per sample
-    (reference mae.py:35-53)."""
+def dropout(rng, x, rate: float, deterministic: bool):
+    """Inverted dropout whose BACKWARD recomputes the keep mask from the
+    PRNG key (exact same bits) instead of saving it.  Plain AD stashes the
+    bool mask as a residual — across the layer scan's fwd/bwd boundary
+    that's a stacked (L, B, H, S, S)-class HBM round trip per step
+    (VERDICT r4 weak #3).  `jax.checkpoint` saves only (rng, x); x is
+    already live as the residual of the preceding matmul, so the net save
+    traffic is the key alone."""
     if deterministic or rate == 0.0:
         return x
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    keep = jax.random.uniform(rng, shape) >= rate
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    if DROPOUT_RECOMPUTE:
+        return jax.checkpoint(_dropout_math, static_argnums=(2,))(rng, x, rate)
+    return _dropout_math(rng, x, rate)
+
+
+def drop_path(rng, x, rate: float, deterministic: bool):
+    """Stochastic depth: drop whole residual branches per sample
+    (reference mae.py:35-53).  Backward recomputes the per-sample keep
+    vector from the key (see dropout)."""
+    if deterministic or rate == 0.0:
+        return x
+
+    def math(rng, x):
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.uniform(rng, shape) >= rate
+        return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+    if DROPOUT_RECOMPUTE:
+        return jax.checkpoint(math)(rng, x)
+    return math(rng, x)
 
 
 def sincos_time_embedding(position_ids: jnp.ndarray, dim: int) -> jnp.ndarray:

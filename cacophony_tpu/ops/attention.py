@@ -149,26 +149,17 @@ def multi_head_attention(
         # scan's outputs every token — at 64 slots that was ~3× the cache
         # size in HBM traffic per step and decode scaled O(B·T); measured
         # 15.8 ms/step at B=64 on v5e.)
+        # NOTE (r5 measured REJECTION — don't retry): a bespoke Pallas
+        # single-query kernel streaming cached K/V at full 768-lane rows
+        # (per-head logits via block-diagonal E1/E2 matmuls) compiled at
+        # every serving shape and LOST to this einsum path in a
+        # same-session interleaved A/B — 64 streams 12.7k vs 15.8k,
+        # 128: 16.6k vs 16.9k, 256: 17.1k vs 17.8k tok/s, with 7.3% token
+        # mismatch from the extra bf16 K⊙q rounding.  The E1/E2 trick
+        # costs ~10.7× the minimal MACs (Dh-reduce widened to 128 lanes),
+        # and XLA's GEMV fusions are NOT the decode wall (confirms the r3
+        # block-diagonal finding).  Deleted; history at commit 33b03cc^.
         q = q * (1.0 / jnp.sqrt(head_dim).astype(q.dtype))
-        if bias is not None:
-            from cacophony_tpu.ops.decode_attention import (
-                DECODE_KERNEL, decode_kbias, single_query_attention)
-            t = kv_cache["k"].shape[1]
-            if DECODE_KERNEL and s == 1 and jax.default_backend() == "tpu":
-                # Bespoke single-query kernel: streams the cached K/V at
-                # full 768-lane rows instead of XLA's per-head GEMV
-                # fusions (r4 xplane: those ran at ~1/3 of HBM bandwidth
-                # and were ~70% of the decode step at 256 streams).
-                out = single_query_attention(
-                    q.reshape(b, d),
-                    kv_cache["k"].astype(q.dtype).reshape(b, t, d),
-                    kv_cache["v"].astype(q.dtype).reshape(b, t, d),
-                    decode_kbias(bias, b, t),
-                    k.reshape(b, d), v.reshape(b, d),
-                    num_heads=num_heads)
-                if out is not None:
-                    return (dense(params["o"], out.reshape(b, 1, d), dtype),
-                            {"k": k, "v": v})
         ck = kv_cache["k"].astype(q.dtype)
         cv = kv_cache["v"].astype(q.dtype)
         logits_past = jnp.einsum("bqhd,bkhd->bhqk", q, ck)
@@ -201,7 +192,10 @@ def multi_head_attention(
     # Softmax in fp32 for stability under bf16 compute (SOFTMAX_FP32).
     weights = _softmax(logits)
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
-        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+        from cacophony_tpu.models.layers import dropout as _dropout
+        # recompute-in-bwd dropout: the (B, H, Sq, Sk) keep mask is the
+        # single largest residual the train step stacks across the layer
+        # scan — regenerate it from the key in the backward instead
+        weights = _dropout(dropout_rng, weights, dropout_rate, False)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, s, d)
     return dense(params["o"], out, dtype), None

@@ -183,9 +183,11 @@ def test_adam_mu_bf16_state_dtype_and_finite_loss():
 
 def test_rbg_rng_impl_trains_and_decreases():
     """rng_impl='rbg' (XLA RngBitGenerator for dropout bulk bits) must
-    train: same model/loss program, different — still seeded-deterministic —
-    Bernoulli stream.  Loss must decrease and repeat-runs must be
-    reproducible for a fixed seed."""
+    train: same model/loss program, different Bernoulli stream.  Loss must
+    decrease, and repeat-runs must be reproducible for a fixed seed — note
+    rbg bits are only deterministic WITHIN one JAX/XLA version, backend,
+    and sharding (per the JAX docs), which is all this in-process
+    repeat-run asserts."""
     cfg = configs.caco_tiny()
     tc = TrainConfig(learning_rate=3e-4, warmup_steps=0, total_steps=100,
                      rng_impl="rbg")
