@@ -305,3 +305,44 @@ def test_decode_under_shard_map_with_psum_termination():
     )
     got = np.asarray(jax.jit(fn)(params, batch))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_dropout_recompute_grads_match_saved_mask_path():
+    """DROPOUT_RECOMPUTE regenerates keep masks from the PRNG key in the
+    backward (jax.checkpoint) instead of saving them.  Same key ⇒ same
+    bits ⇒ the loss AND every gradient leaf must match the save-mask path
+    exactly (it is a pure rematerialization, not an approximation)."""
+    import cacophony_tpu.models.layers as layers_mod
+    from cacophony_tpu.train.train import make_caco_train_step
+
+    cfg = configs.caco_tiny()
+    # make dropout actually fire
+    cfg = configs.dataclasses.replace(
+        cfg,
+        audio=configs.dataclasses.replace(
+            cfg.audio, dropout_rate=0.1, drop_path_rate=0.1),
+        text=configs.dataclasses.replace(cfg.text, hidden_dropout=0.1,
+                                         attention_dropout=0.1),
+    )
+    tc = TrainConfig(learning_rate=1e-4, warmup_steps=0, total_steps=10)
+    batch = _tiny_batch(b=4)
+
+    def grads_with(flag):
+        old = layers_mod.DROPOUT_RECOMPUTE
+        layers_mod.DROPOUT_RECOMPUTE = flag
+        jax.clear_caches()
+        try:
+            params = caco_init(jax.random.PRNGKey(0), cfg)
+            state = init_train_state(params, tc)
+            step = make_caco_train_step(cfg, tc)
+            state, m = step(state, batch, jax.random.PRNGKey(7))
+            return float(m["loss"]), float(m["grad_norm"])
+        finally:
+            layers_mod.DROPOUT_RECOMPUTE = old
+            jax.clear_caches()
+
+    loss_on, gn_on = grads_with(True)
+    loss_off, gn_off = grads_with(False)
+    assert np.isfinite(loss_on)
+    np.testing.assert_allclose(loss_on, loss_off, rtol=1e-6)
+    np.testing.assert_allclose(gn_on, gn_off, rtol=1e-5)
