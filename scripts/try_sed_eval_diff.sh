@@ -13,7 +13,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-LOG=third_party/sed_eval_shim/INSTALL_ATTEMPT.log
+LOG=cacophony_tpu/third_party/sed_eval_shim/INSTALL_ATTEMPT.log
 {
     echo "date: $(date -u +%Y-%m-%dT%H:%M:%SZ)"
     if python -c "import sed_eval" 2>/dev/null; then
