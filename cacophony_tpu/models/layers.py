@@ -82,7 +82,15 @@ CUSTOM_VJP = True
 # Recompute dropout/drop-path keep masks in the backward from the PRNG key
 # (exact same bits) instead of saving them across the scan boundary.
 # Independent of CUSTOM_VJP so train A/Bs can isolate it.
-DROPOUT_RECOMPUTE = True
+# Measured r5 (1× v5e, B=16 bf16 stage-2, same-session interleaved, 3
+# trials/variant): under threefry the recompute is a REGRESSION — 83.4 vs
+# 80.1 ms/step (re-hashing ~100M Bernoulli bits on the VPU in the backward
+# costs more than the mask save traffic) — and its program takes ~6 min to
+# compile vs ~30 s without.  Under rng_impl="rbg" (hardware bit-gen, the
+# r5 TrainConfig default) it is a wash: 75.7 vs 75.5 ms.  Default OFF;
+# flip only as a memory knob (drops the saved masks' HBM residency) on
+# configs where activations are the OOM driver.
+DROPOUT_RECOMPUTE = False
 
 
 def _ln_fwd_math(x, scale, bias, eps):
