@@ -55,6 +55,25 @@ _AUX_EMBED_GATHER = False
 # models/audio.py SCAN_UNROLL).
 SCAN_UNROLL = 1
 
+# Decode cache / cross-KV storage layout (trace-time flag consumed by
+# make_kv_cache / precompute_cross_kv only; consumers infer the layout
+# from leaf shapes/ndim, so both run end-to-end):
+#   "merged": leaves (L, B, T, E) with E = H·Dh — each token's K/V row is
+#       CONTIGUOUS across the full 768 lanes, so per-step reads stream
+#       dense (T, 768) tiles and the per-step write is one dense row.
+#       Per-head logits/PV become block-diagonal-q batched matmuls
+#       (exact same bf16 products, fp32 MXU accumulation; the ~12× MAC
+#       overhead is noise at these shapes).
+#   "legacy": leaves (L, B, T, H, Dh) + per-head einsums.  The (12, 64)
+#       minor dims pad to (16, 128) tiles — a 2.67× HBM over-fetch on
+#       reads that are ~63% of the decode step (r5 xplane).
+# A THIRD layout, (L, B, H, Dh, T) time-last, was measured r5 and lost
+# 2.5× (7.0k vs 17.9k tok/s at every stream count): reads stream dense
+# (64, T) tiles but the per-step single-column write is LANE-SPARSE —
+# read-modify-writes of every (8,128) tile it grazes — and swamps the
+# read saving.  Removed; don't retry a time-minor cache layout.
+CACHE_LAYOUT = "merged"
+
 # Full-mode (non-cached) self-attention through the bespoke one-shot VMEM
 # kernel with in-kernel causal masking (ops/encoder_attention.py) instead
 # of the XLA einsum chain over a (B, 1, S, S) additive bias.  Trace-time
@@ -129,11 +148,17 @@ def caption_decoder_init(rng, cfg: TextConfig):
 
 
 def make_kv_cache(cfg: TextConfig, batch: int, max_length: int, dtype=jnp.float32):
-    """Stacked-per-layer functional KV cache: leaves (L, B, T, H, Dh) + index.
+    """Stacked-per-layer functional KV cache + scalar/per-sample index.
 
+    Layout per CACHE_LAYOUT (see the flag comment): "merged" (default)
+    stores (L, B, T, E) rows — contiguous 768-lane reads AND writes;
+    "legacy" stores (L, B, T, H, Dh) for the per-head einsum path.
     Serving passes dtype=bfloat16 (halves the per-step cache read, the
     decode bandwidth floor); fp32 is the parity default."""
-    shape = (cfg.num_layers, batch, max_length, cfg.num_heads, cfg.head_dim)
+    if CACHE_LAYOUT == "legacy":
+        shape = (cfg.num_layers, batch, max_length, cfg.num_heads, cfg.head_dim)
+    else:
+        shape = (cfg.num_layers, batch, max_length, cfg.hidden_size)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
@@ -171,16 +196,42 @@ def _text_block(
 
     if memory is not None or cross_kv is not None:
         if cross_kv is not None:
-            # decode fast path: precomputed cross K/V (B, S_mem, H, Dh)
+            # decode fast path: precomputed cross K/V stored (B, H, Dh, S_mem)
+            # — audio-time LAST so each step's K/V read streams dense
+            # (64, S) tiles instead of the 2.67×-padded (12, 64) head-split
+            # minors (r5 xplane: this read was 39% of the 256-stream decode
+            # step at ~280 GB/s; see make_kv_cache)
             q = dense(p["cross"]["q"], x, dtype)
             b, s, d = q.shape
             q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
             q = q * (1.0 / jnp.sqrt(cfg.head_dim).astype(q.dtype))
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, cross_kv["k"].astype(q.dtype))
-            logits = logits + memory_bias.astype(logits.dtype)
-            w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(logits.dtype)
-            h = jnp.einsum("bhqk,bkhd->bqhd", w,
-                           cross_kv["v"].astype(q.dtype)).reshape(b, s, d)
+            ck = cross_kv["k"].astype(q.dtype)
+            cv = cross_kv["v"].astype(q.dtype)
+            if ck.ndim == 3:
+                # merged (B, S_mem, E) storage: block-diagonal-q batched
+                # matmuls read K/V as dense (S, 768) tiles (see
+                # CACHE_LAYOUT).  qm[b,(q,h),e] is q with each head's 64
+                # values placed in its own E-block; the PV matmul computes
+                # all (h, h') cross terms and the diagonal is extracted —
+                # ~12× the minimal MACs, which is noise next to the K/V
+                # read this layout un-pads.  Same bf16 products, fp32 MXU
+                # accumulation as the einsum path.
+                H, Dh = cfg.num_heads, cfg.head_dim
+                eye = jnp.eye(H, dtype=q.dtype)
+                qm = jnp.einsum("bqhd,hg->bqhgd", q, eye).reshape(b, s, H, d)
+                logits = jnp.einsum("bqhe,bke->bhqk", qm, ck)
+                logits = logits + memory_bias.astype(logits.dtype)
+                w = jax.nn.softmax(logits.astype(jnp.float32), -1
+                                   ).astype(logits.dtype)
+                full = jnp.einsum("bhqk,bke->bqhe", w, cv)
+                h = jnp.einsum("bqhhd->bqhd",
+                               full.reshape(b, s, H, H, Dh)).reshape(b, s, d)
+            else:
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q, ck)
+                logits = logits + memory_bias.astype(logits.dtype)
+                w = jax.nn.softmax(logits.astype(jnp.float32), -1
+                                   ).astype(logits.dtype)
+                h = jnp.einsum("bhqk,bkhd->bqhd", w, cv).reshape(b, s, d)
             h = dense(p["cross"]["o"], h, dtype)
         else:
             h, _ = multi_head_attention(
@@ -244,11 +295,15 @@ def _run_text_blocks(blocks, x, cfg, bias, *, memory=None, memory_bias=None,
     new_cache = None
     if cache is not None:
         idx = cache["index"]
-        sk = kv_slices["k"].astype(cache["k"].dtype)  # (L, B, 1, H, Dh)
+        # layers emit merged (L, B, 1, E) slices for the 4-D merged cache,
+        # (L, B, 1, H, Dh) for the 5-D legacy one; the time axis is axis 2
+        # in both, so the writes are identical up to trailing dims.
+        sk = kv_slices["k"].astype(cache["k"].dtype)
         sv = kv_slices["v"].astype(cache["v"].dtype)
         if jnp.ndim(idx) == 0:
-            k = jax.lax.dynamic_update_slice(cache["k"], sk, (0, 0, idx, 0, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"], sv, (0, 0, idx, 0, 0))
+            start = (0, 0, idx) + (0,) * (cache["k"].ndim - 3)
+            k = jax.lax.dynamic_update_slice(cache["k"], sk, start)
+            v = jax.lax.dynamic_update_slice(cache["v"], sv, start)
         else:
             # per-sample positions (continuous batching): one scatter
             b_ids = jnp.arange(idx.shape[0])
@@ -381,15 +436,20 @@ def text_encoder_apply(
 def precompute_cross_kv(blocks, cfg: TextConfig, memory: jnp.ndarray,
                         dtype=jnp.float32):
     """Compute every decoder layer's cross-attention K/V from the audio
-    hidden states once per utterance → {'k','v': (L, B, S_mem, H, Dh)}.
+    hidden states once per utterance → {'k','v': (L, B, S_mem, E)} under
+    the default "merged" CACHE_LAYOUT ((L, B, S_mem, H, Dh) for "legacy").
 
     The reference recomputes these for every generated token
     (roberta_text_model.py:190-194 under the while_loop at caco.py:228).
-    dtype=bf16 halves the dominant per-step HBM read when serving.
-    """
+    dtype=bf16 halves the dominant per-step HBM read when serving; the
+    merged rows keep each audio position's K/V contiguous across all 768
+    lanes, so the per-step read streams dense tiles (the legacy head-split
+    minors over-fetch 2.67× — see CACHE_LAYOUT)."""
     def per_layer(p):
         kv = dense(p["cross"]["kv"], memory, dtype)
         k, v = jnp.split(kv, 2, axis=-1)
+        if CACHE_LAYOUT == "merged":
+            return {"k": k, "v": v}
         b, s, d = k.shape
         shape = (b, s, cfg.num_heads, cfg.head_dim)
         return {"k": k.reshape(shape), "v": v.reshape(shape)}

@@ -70,7 +70,7 @@ def multi_head_attention(
     num_heads: int,
     bias: Optional[jnp.ndarray] = None,  # (B, 1, Sq, Sk) or (B,1,1,Sk) additive
     memory: Optional[jnp.ndarray] = None,  # cross-attention kv source
-    kv_cache: Optional[dict] = None,     # {'k','v': (B, T, H, Dh)}, decode
+    kv_cache: Optional[dict] = None,     # {'k','v': (B, H, Dh, T)}, decode
     cache_index: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
     flash_mask: Optional[jnp.ndarray] = None,  # (B, S): use flash kernel
@@ -159,19 +159,46 @@ def multi_head_attention(
         # costs ~10.7× the minimal MACs (Dh-reduce widened to 128 lanes),
         # and XLA's GEMV fusions are NOT the decode wall (confirms the r3
         # block-diagonal finding).  Deleted; history at commit 33b03cc^.
+        # Cache layout (static, inferred at trace time from ndim):
+        #   3-D (B, T, E) "merged" — each cached token's K/V row is
+        #   contiguous across all E = H·Dh lanes, so the per-step read
+        #   streams dense (T, 768) tiles and the write is one dense row.
+        #   Per-head logits/PV run as block-diagonal-q batched matmuls
+        #   (~12× the minimal MACs — noise — with identical bf16 products
+        #   and fp32 MXU accumulation).
+        #   4-D (B, T, H, Dh) "legacy" — per-head einsums; the (12, 64)
+        #   minor dims pad to (16, 128) tiles, a 2.67× HBM over-fetch on
+        #   the reads that were ~63% of the r5 256-stream decode step.
+        # (A time-last (B, H, Dh, T) layout was also measured r5 and lost
+        # 2.5× — the single-column per-step write is lane-sparse; see
+        # models/text.py CACHE_LAYOUT.)
         q = q * (1.0 / jnp.sqrt(head_dim).astype(q.dtype))
         ck = kv_cache["k"].astype(q.dtype)
         cv = kv_cache["v"].astype(q.dtype)
-        logits_past = jnp.einsum("bqhd,bkhd->bhqk", q, ck)
+        merged = ck.ndim == 3
+        if merged:
+            eye = jnp.eye(num_heads, dtype=q.dtype)
+            qm = jnp.einsum("bqhd,hg->bqhgd", q, eye).reshape(b, s, num_heads, d)
+            logits_past = jnp.einsum("bqhe,bte->bhqt", qm, ck)
+        else:
+            logits_past = jnp.einsum("bqhd,bkhd->bhqk", q, ck)
         if bias is not None:
             logits_past = logits_past + bias.astype(logits_past.dtype)
         logits_self = jnp.einsum("bqhd,bqhd->bhq", q, k)[..., None]
         logits = jnp.concatenate([logits_past, logits_self], axis=-1)
         weights = _softmax(logits)
         w_past, w_self = weights[..., :-1], weights[..., -1]
-        out = jnp.einsum("bhqk,bkhd->bqhd", w_past, cv)
+        if merged:
+            full = jnp.einsum("bhqt,bte->bqhe", w_past, cv)
+            out = jnp.einsum("bqhhd->bqhd",
+                             full.reshape(b, s, num_heads, num_heads, head_dim))
+        else:
+            out = jnp.einsum("bhqk,bkhd->bqhd", w_past, cv)
         out = out + v * jnp.moveaxis(w_self, 1, 2)[..., None]
         out = out.reshape(b, s, d)
+        if merged:
+            return (dense(params["o"], out, dtype),
+                    {"k": k.reshape(b, s, d), "v": v.reshape(b, s, d)})
         return dense(params["o"], out, dtype), {"k": k, "v": v}
 
     q = q * (1.0 / jnp.sqrt(head_dim).astype(q.dtype))

@@ -48,9 +48,9 @@ from cacophony_tpu.models.text import (
 
 
 class SlotState(NamedTuple):
-    text_cache: dict          # leaves (L, B, T, H, Dh); index (B,)
+    text_cache: dict          # leaves (L, B, T, E) merged; index (B,)
     dec_cache: dict
-    cross_kv: dict            # (L, B, S_audio, H, Dh)
+    cross_kv: dict            # (L, B, S_audio, E) merged rows
     audio_mask: jnp.ndarray   # (B, S_audio)
     input_ids: jnp.ndarray    # (B, max_len)
     index: jnp.ndarray        # (B,) per-slot decode position
@@ -213,7 +213,12 @@ class ContinuousCaptioner:
         text_cache["index"] = jnp.zeros((b,), jnp.int32)
         dec_cache["index"] = jnp.zeros((b,), jnp.int32)
         ld = cfg.decoder
-        cross_shape = (ld.num_layers, b, audio_seq_len, ld.num_heads, ld.head_dim)
+        from cacophony_tpu.models import text as _text
+        if _text.CACHE_LAYOUT == "legacy":
+            cross_shape = (ld.num_layers, b, audio_seq_len,
+                           ld.num_heads, ld.head_dim)
+        else:  # merged rows (see models/text.py CACHE_LAYOUT)
+            cross_shape = (ld.num_layers, b, audio_seq_len, ld.hidden_size)
         cross = {
             "k": jnp.zeros(cross_shape, cfg.dtype),
             "v": jnp.zeros(cross_shape, cfg.dtype),

@@ -32,14 +32,16 @@ def test_decode_attention_appends_current_token(params):
 
     qkv = dense(params["qkv"], seq[:, :t])
     _, k_c, v_c = jnp.split(qkv, 3, axis=-1)
-    cache = {"k": k_c.reshape(b, t, 2, 8), "v": v_c.reshape(b, t, 2, 8)}
+    # merged cache layout: (B, T, E) rows (see models/text.py CACHE_LAYOUT)
+    cache = {"k": k_c, "v": v_c}
     bias_dec = jnp.zeros((1, 1, 1, t))  # all cached positions valid
     out_dec, kv_slice = multi_head_attention(params, seq[:, t:], num_heads=2,
                                              bias=bias_dec, kv_cache=cache,
                                              cache_index=jnp.int32(t))
     np.testing.assert_allclose(np.asarray(out_dec[:, 0]),
                                np.asarray(out_full[:, t]), atol=1e-5)
-    assert kv_slice["k"].shape == (b, 1, 2, 8)
+    # merged-mode slices come back as (B, 1, E) rows for the row write
+    assert kv_slice["k"].shape == (b, 1, d)
 
 
 def test_vector_cache_index_writes_per_sample_positions():
@@ -58,7 +60,7 @@ def test_vector_cache_index_writes_per_sample_positions():
     _, _, new_cache = text_encoder_apply(
         p, cfg, ids, jnp.ones((b, 1)), position_ids=cache["index"][:, None],
         cache=cache, pool=False)
-    k = np.asarray(new_cache["k"])  # (L, B, T, H, Dh)
+    k = np.asarray(new_cache["k"])  # (L, B, T, E) merged rows
     assert np.abs(k[0, 0, 1]).sum() > 0 and np.abs(k[0, 0, 3]).sum() == 0
     assert np.abs(k[0, 1, 3]).sum() > 0 and np.abs(k[0, 1, 1]).sum() == 0
     np.testing.assert_array_equal(np.asarray(new_cache["index"]), [2, 4])
@@ -191,3 +193,39 @@ def test_custom_vjp_layer_norm_and_act_dense_match_plain_ad():
                 np.testing.assert_allclose(
                     np.asarray(a, np.float32), np.asarray(b, np.float32),
                     rtol=2e-6, atol=2e-6)
+
+
+def test_cache_layout_orders_decode_identically():
+    """Merged (L,B,T,E) caches + cross-KV (the r5 dense-lane layout, with
+    block-diagonal-q matmuls) must produce the same decoded tokens as the
+    legacy (L,B,T,H,Dh) per-head-einsum order — consumers infer the layout
+    from leaf shapes at trace time, and the bf16 products are identical."""
+    import dataclasses
+
+    import cacophony_tpu.models.text as text_mod
+    from cacophony_tpu.configs import caco_tiny
+    from cacophony_tpu.models.caco import caco_init, decode
+    from cacophony_tpu.frontend.patchify import wav_to_patches
+    from cacophony_tpu.configs import FrontendConfig, PatchConfig
+
+    cfg = caco_tiny()
+    front, patch = FrontendConfig(), PatchConfig(patches_seq_len=32)
+    params = caco_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    bufs = jnp.asarray(rng.randn(2, 16_000).astype(np.float32) * 0.1)
+    lens = jnp.full((2,), 16_000, jnp.int32)
+    batch = jax.vmap(lambda b, n: wav_to_patches(b, n, front, patch))(bufs, lens)
+
+    def run(layout):
+        old = text_mod.CACHE_LAYOUT
+        text_mod.CACHE_LAYOUT = layout
+        try:
+            # fresh jit per flag value (trace-time flag)
+            fn = jax.jit(lambda p, b: decode(
+                p, cfg, b, max_length=8, temperature=0.01,
+                bos_id=0, eos_id=2, pad_id=1, rng=jax.random.PRNGKey(7)))
+            return np.asarray(fn(params, batch))
+        finally:
+            text_mod.CACHE_LAYOUT = old
+
+    np.testing.assert_array_equal(run("merged"), run("legacy"))
