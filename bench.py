@@ -66,7 +66,9 @@ BASELINE_FILE_LOCAL = os.path.join(_HERE, ".jax_cache", "bench_baseline.json")
 
 BATCH = 128  # bf16 sweep on v5e (r2 kernel): B=128→1421 clips/s, B=256→1335
 ITERS = 16
-DECODE_STREAMS = 256  # r3 sweep: 64→15.8k, 128→16.9k, 256→17.8k tok/s
+DECODE_STREAMS = 256  # r5 merged-layout sweep: 256→29.3k, 384→30.0k,
+# 512→30.4k tok/s — bandwidth-saturated past 256; keep 256 for
+# cross-round comparability (r3 legacy: 64→15.8k, 128→16.9k, 256→17.8k)
 DECODE_LEN = 64
 
 # Pre-jitted sync primitives: one async dispatch + one scalar fetch each.
@@ -186,13 +188,16 @@ def _throughput_30s(device, batch_size=32, iters=12, warmup=1):
     return batch_size * iters / dt
 
 
-def _continuous_throughput(device, num_requests=128, num_slots=128,
+def _continuous_throughput(device, num_requests=256, num_slots=256,
                            drain_every=32, max_length=64):
     """Continuous-batching captioner over a request stream, tokens/s
     including prefill and drain tails (reference decode loop
-    src/caco/caco.py:154-230 served continuously).  s128_d32 is the r3
-    sweet spot.  Random weights over a 50k vocab never sample EOS, so every
-    request decodes its full budget: tokens = requests × (max_length-1)."""
+    src/caco/caco.py:154-230 served continuously).  r5 slot sweep over 256
+    requests under the merged cache layout (same-session): 128 slots
+    15,282 / 192 slots 10,987 / 256 slots 17,542 tok/s — s256_d32 is the
+    new sweet spot (s128_d32 was r3's).  Random weights over a 50k vocab
+    never sample EOS, so every request decodes its full budget:
+    tokens = requests × (max_length-1)."""
     import types
 
     from cacophony_tpu.runtime.continuous import ContinuousCaptioner
@@ -376,9 +381,10 @@ def main():
         "mfu": round(achieved / peak, 4) if peak else None,
         "decode_tokens_per_s": round(decode_tps, 1),
         "decode_streams": DECODE_STREAMS,
-        # continuous-batching serving over a 128-request stream, s128_d32,
-        # including prefill + drain tails
+        # continuous-batching serving over a 256-request stream, s256_d32,
+        # including prefill + drain tails (r5 slot sweep; r3 was s128_d32)
         "continuous_tokens_per_s": round(cont_tps, 1),
+        "continuous_slots": 256,
         # 30-s retrieval budget (reference headline shape), B=32 bf16
         "clips_30s_per_s": round(clips_30s, 2),
         # stage-2 train step, bf16 B=16 (contrastive + caption)
